@@ -1,0 +1,175 @@
+"""Deformation field: HexPlane feature -> MLP heads -> (dx, ds, dr) plus the
+linear scene-flow advection term.
+
+Mirrors the reference deform_network / Deformation (scene/deformation.py):
+
+- feature_out: Linear(feat_dim, W) then (D-1) x [ReLU, Linear(W, W)]
+  (deformation.py:52-60; D = defor_depth, 0 for the demo config ->
+  a single Linear with no activation)
+- heads pos/scales/rotations (+opacity/shs, disabled by default via
+  no_do/no_dshs=True, arguments/__init__.py:100-101):
+  each Sequential(ReLU, Linear(W, W), ReLU, Linear(W, out))
+  (deformation.py:61-65)
+- dx = pos_deform(h) + delta_scale * frame_num * scene_flow
+  (deformation.py:113-116); new position = xyz + dx (mask == 1)
+- scales/rotations deformed additively (deformation.py:117-135)
+- the timenet + positional-encoding buffers exist in the reference but are
+  dead in the live path (deformation.py:204-210 comments them out); we keep
+  timenet parameters for optimizer/checkpoint parity but never call it.
+
+Parameters are a plain pytree; init mirrors initialize_weights
+(deformation.py:229-235): xavier-uniform weights, torch-default uniform bias.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import hexplane
+from .hexplane import HexPlaneConfig
+
+
+class DeformConfig(NamedTuple):
+    net_width: int = 64
+    defor_depth: int = 0
+    timebase_pe: int = 4
+    timenet_width: int = 64
+    timenet_output: int = 32
+    grid: HexPlaneConfig = HexPlaneConfig()
+    bounds: float = 1.6
+    no_dx: bool = False
+    no_ds: bool = False
+    no_dr: bool = False
+    no_do: bool = True
+    no_dshs: bool = True
+    apply_rotation: bool = False
+
+
+def _linear_init(key, in_dim, out_dim):
+    """xavier_uniform weight (gain 1) + torch-default uniform bias."""
+    wkey, bkey = jax.random.split(key)
+    limit = float(np.sqrt(6.0 / (in_dim + out_dim)))
+    W = jax.random.uniform(wkey, (in_dim, out_dim), jnp.float32, -limit, limit)
+    blim = float(1.0 / np.sqrt(in_dim))
+    b = jax.random.uniform(bkey, (out_dim,), jnp.float32, -blim, blim)
+    return {"w": W, "b": b}
+
+
+def _head_init(key, width, out_dim):
+    k1, k2 = jax.random.split(key)
+    return [_linear_init(k1, width, width), _linear_init(k2, width, out_dim)]
+
+
+def init_deformation(key, config: DeformConfig) -> dict:
+    feat_dim = config.grid.feat_dim
+    W = config.net_width
+    keys = jax.random.split(key, 16)
+    feature_out = [_linear_init(keys[0], feat_dim, W)]
+    for i in range(config.defor_depth - 1):
+        feature_out.append(_linear_init(keys[1 + i], W, W))
+    params = {
+        "grid": hexplane.init_hexplane(keys[8], config.grid, config.bounds),
+        "feature_out": feature_out,
+        "pos_deform": _head_init(keys[9], W, 3),
+        "scales_deform": _head_init(keys[10], W, 3),
+        "rotations_deform": _head_init(keys[11], W, 4),
+        "opacity_deform": _head_init(keys[12], W, 1),
+        "shs_deform": _head_init(keys[13], W, 16 * 3),
+        # dead in the live path; kept for checkpoint/optimizer parity
+        "timenet": [_linear_init(keys[14], 2 * config.timebase_pe + 1,
+                                 config.timenet_width),
+                    _linear_init(keys[15], config.timenet_width,
+                                 config.timenet_output)],
+    }
+    return params
+
+
+def mlp_param_tree(params: dict) -> dict:
+    """The 'deformation' optimizer group: everything except the grids
+    (gaussian_model.py:199, deformation.py:154-159)."""
+    return {k: v for k, v in params.items() if k != "grid"}
+
+
+def grid_param_tree(params: dict) -> dict:
+    """The 'grid' optimizer group (gaussian_model.py:200)."""
+    return {"grid": params["grid"]}
+
+
+def _apply_linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def _apply_head(head, h):
+    """Sequential(ReLU, Linear, ReLU, Linear) (deformation.py:61-65)."""
+    x = jax.nn.relu(h)
+    x = _apply_linear(head[0], x)
+    x = jax.nn.relu(x)
+    return _apply_linear(head[1], x)
+
+
+def _feature(params, config, pts, times):
+    h = hexplane.hexplane_features(params["grid"], pts, times)
+    for i, lin in enumerate(params["feature_out"]):
+        if i > 0:
+            h = jax.nn.relu(h)
+        h = _apply_linear(lin, h)
+    return h
+
+
+def deform(params: dict, config: DeformConfig,
+           means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
+           opacity: jnp.ndarray, shs: jnp.ndarray,
+           times: jnp.ndarray, scene_flow: jnp.ndarray,
+           frame_num, delta_scale):
+    """Raw (pre-activation) parameters in, deformed raw parameters out,
+    matching the reference call (gaussian_renderer/__init__.py:101-103 ->
+    deformation.py:97-153 with mask == 1)."""
+    h = _feature(params, config, means3d, times)
+
+    if config.no_dx:
+        pts = means3d
+    else:
+        dx = _apply_head(params["pos_deform"], h)
+        dx = dx + delta_scale * (frame_num * scene_flow)
+        pts = means3d + dx
+
+    if config.no_ds:
+        new_scales = scales
+    else:
+        new_scales = scales + _apply_head(params["scales_deform"], h)
+
+    if config.no_dr:
+        new_rot = rotations
+    else:
+        dr = _apply_head(params["rotations_deform"], h)
+        if config.apply_rotation:
+            new_rot = _quat_multiply(rotations, dr)
+        else:
+            new_rot = rotations + dr
+
+    if config.no_do:
+        new_opacity = opacity
+    else:
+        new_opacity = opacity + _apply_head(params["opacity_deform"], h)
+
+    if config.no_dshs:
+        new_shs = shs
+    else:
+        dshs = _apply_head(params["shs_deform"], h).reshape(shs.shape[0], 16, 3)
+        new_shs = shs + dshs
+
+    return pts, new_scales, new_rot, new_opacity, new_shs
+
+
+def _quat_multiply(q1, q2):
+    """batch_quaternion_multiply (utils/graphics_utils.py:109-132)."""
+    w = q1[:, 0]*q2[:, 0] - q1[:, 1]*q2[:, 1] - q1[:, 2]*q2[:, 2] - q1[:, 3]*q2[:, 3]
+    x = q1[:, 0]*q2[:, 1] + q1[:, 1]*q2[:, 0] + q1[:, 2]*q2[:, 3] - q1[:, 3]*q2[:, 2]
+    y = q1[:, 0]*q2[:, 2] - q1[:, 1]*q2[:, 3] + q1[:, 2]*q2[:, 0] + q1[:, 3]*q2[:, 1]
+    z = q1[:, 0]*q2[:, 3] + q1[:, 1]*q2[:, 2] - q1[:, 2]*q2[:, 1] + q1[:, 3]*q2[:, 0]
+    q3 = jnp.stack([w, x, y, z], axis=1)
+    return q3 / jnp.linalg.norm(q3, axis=1, keepdims=True)

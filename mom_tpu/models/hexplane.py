@@ -1,0 +1,121 @@
+"""HexPlane 4D feature field as a pure functional pytree.
+
+Mirrors the reference HexPlaneField (scene/hexplane.py:109-183):
+
+- 6 planes per scale from itertools.combinations(range(4), 2):
+  (x,y) (x,z) (x,t) (y,z) (y,t) (z,t) — indices 0..5; spatial = {0,1,3},
+  temporal = {2,4,5}
+- multiscale resolution multipliers applied to the *spatial* axes only
+  (hexplane.py:130-134)
+- spatial planes init U(0.1, 0.5); time planes init to ones (hexplane.py:64-67)
+- per-plane bilinear sample (align_corners, border), product over the 6
+  planes, concat over scales (hexplane.py:86-106)
+- inputs normalized to [-1, 1] by an AABB (hexplane.py:19-20); time is
+  expected in [0, 1] and also passes through the same affine map with
+  aabb [0,1] -> handled by storing a 4D aabb.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gridsample import grid_sample_2d
+
+COO_COMBS = list(itertools.combinations(range(4), 2))
+SPATIAL_PLANES = (0, 1, 3)
+TIME_PLANES = (2, 4, 5)
+
+
+class HexPlaneConfig(NamedTuple):
+    out_dim: int = 32
+    resolution: tuple = (64, 64, 64, 25)
+    multires: tuple = (1, 2)
+
+    @property
+    def feat_dim(self) -> int:
+        return self.out_dim * len(self.multires)
+
+
+def init_hexplane(key, config: HexPlaneConfig, bounds: float = 1.6) -> dict:
+    """Returns {'grids': [[plane(out_dim, r_b, r_a)]*6 per scale],
+    'aabb': (2, 3)}.  Plane for combination (a, b) has shape
+    [out_dim, reso[b], reso[a]] (reference reverses the combo,
+    hexplane.py:61-63, so grid_sample x-axis indexes coordinate a)."""
+    grids = []
+    for res_mult in config.multires:
+        reso = [r * res_mult for r in config.resolution[:3]] + list(config.resolution[3:])
+        scale_planes = []
+        for ci, (a, b) in enumerate(COO_COMBS):
+            shape = (config.out_dim, reso[b], reso[a])
+            key, sub = jax.random.split(key)
+            if 3 in (a, b):   # time plane -> ones
+                plane = jnp.ones(shape, jnp.float32)
+            else:
+                plane = jax.random.uniform(sub, shape, jnp.float32, 0.1, 0.5)
+            scale_planes.append(plane)
+        grids.append(scale_planes)
+    aabb = jnp.array([[bounds] * 3, [-bounds] * 3], jnp.float32)
+    return {"grids": grids, "aabb": aabb}
+
+
+def set_aabb(params: dict, xyz_max, xyz_min) -> dict:
+    aabb = jnp.array([np.asarray(xyz_max), np.asarray(xyz_min)], jnp.float32)
+    return {**params, "aabb": aabb}
+
+
+def hexplane_features(params: dict, pts: jnp.ndarray,
+                      times: jnp.ndarray) -> jnp.ndarray:
+    """pts (N, 3) world coords, times (N,) in [0, 1] -> (N, feat_dim).
+
+    normalize_aabb (hexplane.py:19-20): x_norm = (x - aabb[0]) * 2 /
+    (aabb[1] - aabb[0]) - 1 where aabb[0] is the MAX row (reference stores
+    [max, min], scene/hexplane.py:152-157 — so max maps to -1, min to +1).
+
+    QUIRK PRESERVED: the reference concatenates the raw time in [0, 1]
+    *without* remapping to [-1, 1] (hexplane.py:163-164), so the time axis of
+    the temporal planes only uses its upper half.  We reproduce that."""
+    aabb = params["aabb"]
+    pts_n = (pts - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
+    coords4 = jnp.concatenate([pts_n, times[:, None]], axis=-1)   # (N, 4)
+
+    features = []
+    for scale_planes in params["grids"]:
+        interp = 1.0
+        for ci, (a, b) in enumerate(COO_COMBS):
+            c2 = jnp.stack([coords4[:, a], coords4[:, b]], axis=-1)
+            interp = interp * grid_sample_2d(scale_planes[ci], c2)
+        features.append(interp)
+    return jnp.concatenate(features, axis=-1)
+
+
+def plane_smoothness(plane: jnp.ndarray) -> jnp.ndarray:
+    """Second-difference smoothness along the H (second-to-last) axis —
+    reference compute_plane_smoothness (scene/regulation.py:22-28)."""
+    first = plane[..., 1:, :] - plane[..., :-1, :]
+    second = first[..., 1:, :] - first[..., :-1, :]
+    return jnp.mean(jnp.square(second))
+
+
+def grid_regularization(params: dict, time_smoothness_weight: float,
+                        l1_time_planes_weight: float,
+                        plane_tv_weight: float) -> jnp.ndarray:
+    """compute_regulation (gaussian_model.py:730-769): 'plane tv' =
+    smoothness over spatial planes, time smoothness + L1-to-1 over temporal
+    planes."""
+    plane_total = 0.0
+    time_total = 0.0
+    l1_total = 0.0
+    for scale_planes in params["grids"]:
+        for gid in SPATIAL_PLANES:
+            plane_total = plane_total + plane_smoothness(scale_planes[gid])
+        for gid in TIME_PLANES:
+            time_total = time_total + plane_smoothness(scale_planes[gid])
+            l1_total = l1_total + jnp.mean(jnp.abs(1.0 - scale_planes[gid]))
+    return (plane_tv_weight * plane_total
+            + time_smoothness_weight * time_total
+            + l1_time_planes_weight * l1_total)

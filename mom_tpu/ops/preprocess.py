@@ -1,0 +1,182 @@
+"""Per-Gaussian screen-space preprocessing (differentiable, pure XLA).
+
+Replicates the math of the reference CUDA preprocess kernel
+(cuda_rasterizer/forward.cu:74-256) as a vmappable JAX function:
+
+- frustum culling at view z <= 0.2 (auxiliary.h:139-164)
+- perspective projection with 1e-7-regularized w (forward.cu:197-200)
+- 3D covariance from (activated) scale + (normalized) quaternion:
+  Sigma = R diag(s^2) R^T (forward.cu:118-152, glm column-major unrolled)
+- EWA 2D covariance with 1.3*tan_fov frustum clamp and +0.3px low-pass
+  (forward.cu:74-113)
+- conic (inverse 2D covariance), radius = ceil(3*sqrt(max eigenvalue))
+  (forward.cu:218-232)
+- ndc -> pixel mapping ((v+1)*S - 1)*0.5 (auxiliary.h:41-44)
+- SH -> clamped RGB along the camera ray (forward.cu:20-71)
+
+The whole backward pass of this stage is obtained by JAX autodiff (the
+reference hand-writes it in backward.cu:144-414); gradients agree because the
+forward math is identical.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import sh as sh_utils
+
+NEAR_CULL_Z = 0.2
+LOWPASS = 0.3
+
+
+class Preprocessed(NamedTuple):
+    means2d: jnp.ndarray     # (P, 2) pixel coords
+    conic: jnp.ndarray       # (P, 3) inverse 2D covariance (a, b, c)
+    depths: jnp.ndarray      # (P,) view-space z
+    radii: jnp.ndarray       # (P,) float radius in pixels (0 for culled)
+    colors: jnp.ndarray      # (P, 3) RGB from SH (or passthrough)
+    opacities: jnp.ndarray   # (P,) activated opacity
+    valid: jnp.ndarray       # (P,) bool — survives culling and det>0
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) wxyz -> (..., 3, 3); expects pre-normalized quaternions
+    (the rasterizer is fed rotation_activation output, forward.cu:127)."""
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], -1),
+        jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], -1),
+        jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+    return R
+
+
+def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
+                  scale_modifier: float = 1.0) -> jnp.ndarray:
+    """(P,3) activated scales + (P,4) quats -> (P,6) upper-triangular
+    [s00,s01,s02,s11,s12,s22] of Sigma = R diag(s^2) R^T."""
+    R = quat_to_rotmat(rotations)
+    s2 = (scale_modifier * scales) ** 2
+    Sigma = jnp.einsum("...ij,...j,...kj->...ik", R, s2, R)
+    return jnp.stack([Sigma[..., 0, 0], Sigma[..., 0, 1], Sigma[..., 0, 2],
+                      Sigma[..., 1, 1], Sigma[..., 1, 2], Sigma[..., 2, 2]], -1)
+
+
+def compute_cov2d(means3d, cov3d, viewmatrix, tanfovx, tanfovy,
+                  focal_x, focal_y):
+    """EWA projection of the 3D covariance (forward.cu:74-113).
+    Returns (P, 3) = (cov00+0.3, cov01, cov11+0.3)."""
+    t = means3d @ viewmatrix[:3, :3].T + viewmatrix[:3, 3]
+    limx = 1.3 * tanfovx
+    limy = 1.3 * tanfovy
+    tz = t[..., 2]
+    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+
+    # J rows of the affine approximation (only first two rows matter)
+    j00 = focal_x / tz
+    j02 = -(focal_x * tx) / (tz * tz)
+    j11 = focal_y / tz
+    j12 = -(focal_y * ty) / (tz * tz)
+
+    W = viewmatrix[:3, :3]           # world->view rotation
+    # M = J @ W, rows m0, m1: (P, 3)
+    m0 = j00[..., None] * W[0] + j02[..., None] * W[2]
+    m1 = j11[..., None] * W[1] + j12[..., None] * W[2]
+
+    # Sigma (P, 3, 3) from packed 6
+    s00, s01, s02, s11, s12, s22 = [cov3d[..., i] for i in range(6)]
+    Sigma = jnp.stack([
+        jnp.stack([s00, s01, s02], -1),
+        jnp.stack([s01, s11, s12], -1),
+        jnp.stack([s02, s12, s22], -1),
+    ], -2)
+
+    Sm0 = jnp.einsum("...ij,...j->...i", Sigma, m0)
+    c00 = jnp.einsum("...i,...i->...", m0, Sm0) + LOWPASS
+    c01 = jnp.einsum("...i,...i->...", m1, Sm0)
+    Sm1 = jnp.einsum("...ij,...j->...i", Sigma, m1)
+    c11 = jnp.einsum("...i,...i->...", m1, Sm1) + LOWPASS
+    return jnp.stack([c00, c01, c11], -1)
+
+
+def ndc2pix(v, size):
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def preprocess(means3d: jnp.ndarray,
+               scales: jnp.ndarray,
+               rotations: jnp.ndarray,
+               opacities: jnp.ndarray,
+               shs: jnp.ndarray | None,
+               viewmatrix: jnp.ndarray,
+               projmatrix: jnp.ndarray,
+               campos: jnp.ndarray,
+               tanfovx, tanfovy,
+               width: int, height: int,
+               active_sh_degree=3,
+               scale_modifier: float = 1.0,
+               colors_precomp: jnp.ndarray | None = None,
+               cov3d_precomp: jnp.ndarray | None = None,
+               means2d_offset: jnp.ndarray | None = None) -> Preprocessed:
+    """All inputs already activated (exp scales, normalized quats, sigmoid
+    opacity), matching what the reference feeds its rasterizer
+    (gaussian_renderer/__init__.py:130-132,158-166).
+
+    ``means2d_offset`` (P,2), if given, is added to the projected pixel
+    coordinates; passing zeros and taking its gradient yields the per-Gaussian
+    screen-space gradient used for densification stats (the reference's
+    ``screenspace_points`` trick, gaussian_renderer/__init__.py:30)."""
+    P = means3d.shape[0]
+    focal_y = height / (2.0 * tanfovy)
+    focal_x = width / (2.0 * tanfovx)
+
+    p_view = means3d @ viewmatrix[:3, :3].T + viewmatrix[:3, 3]
+    depths = p_view[..., 2]
+    in_front = depths > NEAR_CULL_Z
+
+    p_hom = means3d @ projmatrix[:3, :3].T + projmatrix[:3, 3]
+    w = means3d @ projmatrix[3, :3] + projmatrix[3, 3]
+    p_w = 1.0 / (w + 1e-7)
+    p_proj = p_hom * p_w[..., None]
+
+    if cov3d_precomp is None:
+        cov3d = compute_cov3d(scales, rotations, scale_modifier)
+    else:
+        cov3d = cov3d_precomp
+    cov2d = compute_cov2d(means3d, cov3d, viewmatrix, tanfovx, tanfovy,
+                          focal_x, focal_y)
+
+    a, b, c = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    det = a * c - b * b
+    det_ok = det != 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([c, -b, a], -1) / det_safe[..., None]
+
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, mid - jnp.sqrt(
+        jnp.maximum(0.1, mid * mid - det)))))
+
+    mean2d = jnp.stack([ndc2pix(p_proj[..., 0], width),
+                        ndc2pix(p_proj[..., 1], height)], -1)
+    if means2d_offset is not None:
+        mean2d = mean2d + means2d_offset
+
+    if colors_precomp is None:
+        dirs = means3d - campos
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        colors = jnp.maximum(
+            sh_utils.eval_sh(active_sh_degree, shs, dirs) + 0.5, 0.0)
+    else:
+        colors = colors_precomp
+
+    valid = in_front & det_ok
+    radii = jnp.where(valid, radius, 0.0)
+    opac = opacities.reshape(P)
+    return Preprocessed(means2d=mean2d, conic=conic, depths=depths,
+                        radii=radii, colors=colors, opacities=opac,
+                        valid=valid)

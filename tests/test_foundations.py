@@ -1,0 +1,176 @@
+"""Golden-value tests for camera math, SH, LR schedule, trajectories, config."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from mom_tpu.utils import graphics, sh, general, trajectory
+from mom_tpu.cameras import Camera, from_c2w
+from mom_tpu import config
+
+
+def test_world2view_roundtrip():
+    rng = np.random.RandomState(0)
+    # random rotation via QR
+    q, _ = np.linalg.qr(rng.randn(3, 3))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    R = q  # stored convention: R = W2C[:3,:3].T
+    t = rng.randn(3)
+    W2V = graphics.get_world2view(R, t)
+    # W2V rotation must be R^T, translation t
+    np.testing.assert_allclose(W2V[:3, :3], R.T, atol=1e-6)
+    np.testing.assert_allclose(W2V[:3, 3], t, atol=1e-6)
+    # camera center: -R @ t
+    center = np.linalg.inv(W2V)[:3, 3]
+    np.testing.assert_allclose(center, -R @ t, atol=1e-5)
+
+
+def test_projection_matrix_golden():
+    P = graphics.get_projection_matrix(0.01, 100.0, fovx=0.8, fovy=0.6)
+    # reference formula (graphics_utils.py:51-71)
+    assert abs(P[0, 0] - 1.0 / math.tan(0.4)) < 1e-6
+    assert abs(P[1, 1] - 1.0 / math.tan(0.3)) < 1e-6
+    assert P[3, 2] == 1.0
+    assert abs(P[2, 2] - 100.0 / (100.0 - 0.01)) < 1e-6
+    assert abs(P[2, 3] + (100.0 * 0.01) / (100.0 - 0.01)) < 1e-6
+
+
+def test_fov_focal_roundtrip():
+    f = graphics.fov2focal(0.9, 512)
+    assert abs(graphics.focal2fov(f, 512) - 0.9) < 1e-9
+
+
+def test_camera_projects_point_to_pixel_center():
+    # camera at origin looking down +z (identity R, zero t): a point on the
+    # optical axis must project to the image center in NDC.
+    cam = Camera(R=np.eye(3), T=np.zeros(3), fovx=0.8, fovy=0.8,
+                 width=64, height=64)
+    p = np.array([0.0, 0.0, 5.0, 1.0])
+    clip = cam.full_proj @ p
+    ndc = clip[:3] / clip[3]
+    assert abs(ndc[0]) < 1e-6 and abs(ndc[1]) < 1e-6
+    assert np.allclose(cam.camera_center, 0.0)
+
+
+def test_from_c2w_matches_reference_flip():
+    c2w = np.eye(4)
+    c2w[:3, 3] = [1.0, 2.0, 3.0]
+    cam = from_c2w(c2w, 0.8, 0.8, 32, 32)
+    # reference: c2w[:3,1:3] *= -1 then invert
+    c2w_f = np.eye(4)
+    c2w_f[:3, 3] = [1.0, 2.0, 3.0]
+    c2w_f[:3, 1:3] *= -1
+    w2c = np.linalg.inv(c2w_f)
+    np.testing.assert_allclose(cam.R, w2c[:3, :3].T, atol=1e-7)
+    np.testing.assert_allclose(cam.T, w2c[:3, 3], atol=1e-7)
+
+
+def test_sh_degree0_matches_c0():
+    shs = np.zeros((4, 16, 3), np.float32)
+    shs[:, 0, :] = 1.0
+    dirs = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (4, 1))
+    out = sh.eval_sh(0, jnp.asarray(shs), jnp.asarray(dirs))
+    np.testing.assert_allclose(np.asarray(out), sh.C0, atol=1e-6)
+
+
+def test_sh_band_masking():
+    rng = np.random.RandomState(1)
+    shs = rng.randn(8, 16, 3).astype(np.float32)
+    dirs = rng.randn(8, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    full = np.asarray(sh.eval_sh(3, jnp.asarray(shs), jnp.asarray(dirs)))
+    # masking bands >0 == evaluating with only coeff 0
+    deg0 = np.asarray(sh.eval_sh(0, jnp.asarray(shs), jnp.asarray(dirs)))
+    np.testing.assert_allclose(deg0, sh.C0 * shs[:, 0, :], atol=1e-6)
+    # degree-3 eval matches the reference polynomial (sh_utils.py:57-112)
+    x, y, z = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    s = shs
+    expected = (sh.C0 * s[:, 0]
+                - sh.C1 * y * s[:, 1] + sh.C1 * z * s[:, 2] - sh.C1 * x * s[:, 3]
+                + sh.C2[0] * xy * s[:, 4] + sh.C2[1] * yz * s[:, 5]
+                + sh.C2[2] * (2 * zz - xx - yy) * s[:, 6]
+                + sh.C2[3] * xz * s[:, 7] + sh.C2[4] * (xx - yy) * s[:, 8]
+                + sh.C3[0] * y * (3 * xx - yy) * s[:, 9]
+                + sh.C3[1] * xy * z * s[:, 10]
+                + sh.C3[2] * y * (4 * zz - xx - yy) * s[:, 11]
+                + sh.C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * s[:, 12]
+                + sh.C3[4] * x * (4 * zz - xx - yy) * s[:, 13]
+                + sh.C3[5] * z * (xx - yy) * s[:, 14]
+                + sh.C3[6] * x * (xx - 3 * yy) * s[:, 15])
+    np.testing.assert_allclose(full, expected, atol=1e-5)
+
+
+def test_expon_lr_matches_reference():
+    # reference helper (general_utils.py:53-66)
+    def ref(step, lr_init, lr_final, max_steps):
+        t = np.clip(step / max_steps, 0, 1)
+        return np.exp(np.log(lr_init) * (1 - t) + np.log(lr_final) * t)
+
+    for step in [0, 100, 10_000, 20_000, 30_000]:
+        expect = ref(step, 1.6e-4, 1.6e-6, 20_000)
+        got = float(general.expon_lr(step, 1.6e-4, 1.6e-6, max_steps=20_000))
+        assert abs(got - expect) < 1e-5 * expect + 1e-12
+
+
+def test_trajectory_preset_shapes_and_values():
+    poses = trajectory.get_pcd_gen_poses("lookaround")
+    assert poses.shape == (5, 3, 4)
+    # pose 0 is identity (th=0, phi=0)
+    np.testing.assert_allclose(poses[0, :3, :3], np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(poses[0, :3, 3], 0.0, atol=1e-12)
+    # pose 1: th=20deg yaw
+    th = 20 / 180 * np.pi
+    expected = np.array([[np.cos(th), 0, -np.sin(th)],
+                         [0, 1, 0],
+                         [np.sin(th), 0, np.cos(th)]])
+    np.testing.assert_allclose(poses[1, :3, :3], expected, atol=1e-12)
+
+    hemi = trajectory.get_pcd_gen_poses("hemisphere", {"center_depth": 9.9})
+    assert hemi.shape == (5, 3, 4)
+    # center pose (index 2) is identity with zero translation
+    np.testing.assert_allclose(hemi[2, :3, :3], np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(hemi[2, :3, 3], 0.0, atol=1e-12)
+    # pose 0: th=5deg, d=4.3 translation
+    d, th5 = 4.3, 5 / 180 * np.pi
+    np.testing.assert_allclose(hemi[0, :3, 3],
+                               [d * np.sin(th5), 0, d - d * np.cos(th5)],
+                               atol=1e-12)
+
+
+def test_config_groups_and_overrides(tmp_path):
+    from argparse import ArgumentParser
+    parser = ArgumentParser()
+    config.add_group_args(parser, config.OptimizationParams)
+    config.add_group_args(parser, config.ModelHiddenParams)
+    args = parser.parse_args(["--iterations", "123"])
+    opt = config.extract_group(args, config.OptimizationParams)
+    assert opt.iterations == 123 and opt.coarse_iterations == 3000
+
+    base = tmp_path / "base.py"
+    base.write_text("OptimizationParams = dict(iterations=20000, "
+                    "pruning_interval=8000)\n"
+                    "ModelHiddenParams = dict(multires=[1,2], defor_depth=0)\n")
+    child = tmp_path / "child.py"
+    child.write_text("_base_ = './base.py'\n"
+                     "ModelHiddenParams = dict(kplanes_config={"
+                     "'grid_dimensions': 2, 'input_coordinate_dim': 4, "
+                     "'output_coordinate_dim': 32, "
+                     "'resolution': [64, 64, 64, 50]})\n")
+    cfg = config.load_config_file(str(child))
+    args = config.merge_hparams(args, cfg)
+    assert args.iterations == 20000 and args.pruning_interval == 8000
+    assert args.multires == [1, 2] and args.defor_depth == 0
+    assert args.kplanes_config["resolution"][-1] == 50
+
+
+def test_cfg_args_roundtrip(tmp_path):
+    from argparse import Namespace
+    ns = Namespace(a=1, b="x", c=[1, 2], d=True, e=None)
+    config.save_cfg_args(str(tmp_path), ns)
+    parsed = config.parse_namespace_repr((tmp_path / "cfg_args").read_text())
+    assert parsed.a == 1 and parsed.b == "x" and parsed.c == [1, 2]
+    assert parsed.d is True and parsed.e is None

@@ -1,0 +1,60 @@
+"""Tests for KNN init and bilinear grid sampling."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mom_tpu.ops.knn import mean_3nn_sq_dist, mean_3nn_sq_dist_morton
+from mom_tpu.ops.gridsample import grid_sample_2d
+
+
+def brute_force_3nn(points):
+    d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    d2.sort(axis=1)
+    return d2[:, :3].mean(axis=1)
+
+
+def test_knn_exact_matches_bruteforce():
+    rng = np.random.RandomState(0)
+    pts = rng.randn(257, 3).astype(np.float32)  # non-multiple of block
+    got = np.asarray(mean_3nn_sq_dist(jnp.asarray(pts), row_block=64,
+                                      col_block=128))
+    expect = brute_force_3nn(pts.astype(np.float64))
+    np.testing.assert_allclose(got, expect, rtol=2e-3)
+
+
+def test_knn_morton_close_to_exact():
+    rng = np.random.RandomState(1)
+    pts = rng.rand(2000, 3).astype(np.float32)
+    exact = np.asarray(mean_3nn_sq_dist(jnp.asarray(pts)))
+    approx = np.asarray(mean_3nn_sq_dist_morton(jnp.asarray(pts), window=32))
+    # approximate distances can only overestimate; most should be near-exact
+    assert np.all(approx >= exact - 1e-6)
+    rel = (approx - exact) / np.maximum(exact, 1e-12)
+    assert np.median(rel) < 0.05
+    # log-scale seeds only need coarse agreement
+    assert np.mean(np.abs(np.log(np.maximum(approx, 1e-12))
+                          - np.log(np.maximum(exact, 1e-12)))) < 0.5
+
+
+def test_grid_sample_matches_torch_semantics():
+    import torch
+    import torch.nn.functional as F
+    rng = np.random.RandomState(2)
+    grid = rng.randn(8, 5, 7).astype(np.float32)    # (C, H, W)
+    coords = rng.uniform(-1.3, 1.3, (40, 2)).astype(np.float32)  # incl. border
+    got = np.asarray(grid_sample_2d(jnp.asarray(grid), jnp.asarray(coords)))
+    t = F.grid_sample(torch.tensor(grid)[None],
+                      torch.tensor(coords)[None, None],
+                      align_corners=True, mode="bilinear",
+                      padding_mode="border")
+    expect = t[0, :, 0, :].T.numpy()
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_grid_sample_exact_corners():
+    grid = jnp.arange(12, dtype=jnp.float32).reshape(1, 3, 4)
+    # (-1,-1) -> (x=0, y=0) -> value 0 ; (1,1) -> (x=3,y=2) -> value 11
+    out = grid_sample_2d(grid, jnp.array([[-1.0, -1.0], [1.0, 1.0]]))
+    assert float(out[0, 0]) == 0.0
+    assert float(out[1, 0]) == 11.0
