@@ -121,11 +121,10 @@ def test_depth_output():
 
 
 def test_gradients_flow_and_match_fd():
-    from jax.experimental import enable_x64
-
     cam, params32 = make_scene(n=12, width=16, height=16)
 
-    with enable_x64():
+    jax.config.update("jax_enable_x64", True)
+    try:
         params = tuple(jnp.asarray(np.asarray(p), jnp.float64) for p in params32)
         vm = jnp.asarray(cam.world_view, jnp.float64)
         fp = jnp.asarray(cam.full_proj, jnp.float64)
@@ -153,6 +152,8 @@ def test_gradients_flow_and_match_fd():
             fd = (lp - lm) / (2 * eps)
             an = float(grads[3][i])
             assert abs(fd - an) < 1e-4 * max(1.0, abs(fd)), (i, fd, an)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_means2d_offset_gradient():
