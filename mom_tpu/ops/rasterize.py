@@ -1,0 +1,514 @@
+"""Production tile-binned differentiable Gaussian rasterizer (TPU-native).
+
+The TPU redesign of the reference CUDA pipeline
+(cuda_rasterizer/rasterizer_impl.cu:198-444):
+
+  CUDA                                   here
+  ----                                   ----
+  preprocessCUDA (1 thread/gaussian)     vmapped XLA preprocess (preprocess.py)
+  cub InclusiveSum of tiles_touched      jnp.cumsum over rect areas
+  duplicateWithKeys + cub RadixSort      fixed-capacity slot expansion via
+                                         searchsorted + lax.sort on
+                                         (tile_id, depth) — no scatter at all
+  identifyTileRanges                     searchsorted over the sorted tile ids
+  renderCUDA (16x16 block, shared mem)   Pallas kernel: one grid step per tile,
+                                         chunks of 128 gaussians DMA'd HBM->VMEM,
+                                         alpha as a [256 pixel, 128 gaussian]
+                                         VPU block, transmittance as a log-space
+                                         cumulative sum, contributions as an MXU
+                                         contraction; early exit on T < 1e-4
+  BACKWARD::render (atomicAdd)           second Pallas kernel replaying the walk
+                                         and emitting per-instance grads; the
+                                         per-gaussian reduction is the autodiff
+                                         of the (differentiable) gather, i.e. a
+                                         deterministic XLA scatter-add
+
+Compositing semantics are shared bit-for-bit with the oracle
+(rasterize_ref.py) — see its docstring for the 1e-4-bounded deviation from
+the CUDA recurrence.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .preprocess import Preprocessed, preprocess
+from .rasterize_ref import tile_rect, TILE, ALPHA_MIN, ALPHA_MAX, T_EPS
+
+import numpy as np
+
+CHUNK = 128          # gaussian instances per inner step (lane dimension)
+NFEAT = 16           # padded feature rows (sublane dimension)
+LOG_T_EPS = float(np.log(T_EPS))
+
+# feature row layout in the packed [NFEAT, key_cap] array
+R_MX, R_MY, R_CA, R_CB, R_CC, R_OP, R_R, R_G, R_B, R_D = range(10)
+
+
+def _interpret() -> bool:
+    return os.environ.get("MOM_TPU_INTERPRET", "0") == "1"
+
+
+def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative sum along the lane axis (axis 1) as an MXU
+    contraction with a triangular ones matrix — Pallas TPU has no cumsum
+    lowering, and a [*, 128] x [128, 128] matmul is effectively free."""
+    n = x.shape[1]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    tri = (ii <= jj).astype(x.dtype)
+    return jax.lax.dot_general(x, tri, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+class Binning(NamedTuple):
+    gid_sorted: jnp.ndarray    # (padded_cap,) int32 gaussian id per instance
+    tile_starts: jnp.ndarray   # (num_tiles,) int32 — CHUNK-aligned
+    tile_ends: jnp.ndarray     # (num_tiles,) int32 — starts + real counts
+    slot_valid: jnp.ndarray    # (padded_cap,) bool — real (non-pad) instance
+    num_keys: jnp.ndarray      # () int32 — real instances before capping
+    overflow: jnp.ndarray      # () int32 — instances dropped by key_cap
+
+
+def padded_cap(key_cap: int, width: int, height: int) -> int:
+    geom = _geom(width, height)
+    return key_cap + geom.grid_x * geom.grid_y * CHUNK
+
+
+def bin_gaussians(pre: Preprocessed, width: int, height: int,
+                  key_cap: int) -> Binning:
+    """Exact duplicate-key expansion with a static capacity.
+
+    Instead of scattering duplicated keys (cub-style), each output slot
+    *finds its producer* with a searchsorted over the exclusive prefix sum of
+    rect areas — a pure gather, which XLA prefers.  After the (tile, depth)
+    sort, each tile's run is re-laid-out to a CHUNK-aligned segment so the
+    compositing kernel's DMA offsets are provably 128-aligned and tiles never
+    share a chunk (programs are then trivially parallelizable)."""
+    grid_x = (width + TILE - 1) // TILE
+    grid_y = (height + TILE - 1) // TILE
+    num_tiles = grid_x * grid_y
+
+    alive = pre.valid & (pre.radii > 0)
+    rmn, rmx = tile_rect(pre.means2d, pre.radii, width, height)
+    rw = (rmx[:, 0] - rmn[:, 0]).astype(jnp.int32)
+    rh = (rmx[:, 1] - rmn[:, 1]).astype(jnp.int32)
+    areas = jnp.where(alive, rw * rh, 0).astype(jnp.int32)
+
+    offsets_inc = jnp.cumsum(areas)
+    total = offsets_inc[-1]
+    offsets = offsets_inc - areas                      # exclusive
+
+    slots = jnp.arange(key_cap, dtype=jnp.int32)
+    gid = jnp.searchsorted(offsets_inc, slots, side="right").astype(jnp.int32)
+    gid = jnp.minimum(gid, areas.shape[0] - 1)
+    in_range = slots < total
+
+    local = slots - offsets[gid]
+    w_g = jnp.maximum(rw[gid], 1)
+    tx = rmn[gid, 0] + local % w_g
+    ty = rmn[gid, 1] + local // w_g
+    tile_id = jnp.where(in_range, ty * grid_x + tx, num_tiles).astype(jnp.int32)
+    depth = jnp.where(in_range, pre.depths[gid], jnp.float32(3.4e38))
+
+    tile_sorted, _, gid_sorted = jax.lax.sort(
+        (tile_id, depth, gid), num_keys=2)
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts_raw = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
+    ends_raw = jnp.searchsorted(tile_sorted, tids + 1, side="left").astype(jnp.int32)
+    counts = ends_raw - starts_raw
+
+    padded = ((counts + CHUNK - 1) // CHUNK) * CHUNK
+    pstarts_inc = jnp.cumsum(padded)
+    pstarts = pstarts_inc - padded
+
+    pcap = padded_cap(key_cap, width, height)
+    s = jnp.arange(pcap, dtype=jnp.int32)
+    u = jnp.searchsorted(pstarts_inc, s, side="right").astype(jnp.int32)
+    u = jnp.minimum(u, num_tiles - 1)
+    l = s - pstarts[u]
+    slot_valid = l < counts[u]
+    src = jnp.where(slot_valid, starts_raw[u] + l, 0)
+    gid_padded = gid_sorted[src]
+
+    return Binning(gid_sorted=gid_padded, tile_starts=pstarts,
+                   tile_ends=pstarts + counts, slot_valid=slot_valid,
+                   num_keys=jnp.minimum(total, key_cap),
+                   overflow=jnp.maximum(total - key_cap, 0))
+
+
+def _pack_features(pre: Preprocessed, gid_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable gather into the kernel's [NFEAT, padded_cap] layout.
+    The autodiff transpose of this gather is the deterministic per-gaussian
+    gradient reduction."""
+    zeros = jnp.zeros_like(pre.depths)
+    rows = jnp.stack([
+        pre.means2d[:, 0], pre.means2d[:, 1],
+        pre.conic[:, 0], pre.conic[:, 1], pre.conic[:, 2],
+        pre.opacities,
+        pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
+        pre.depths,
+    ] + [zeros] * (NFEAT - 10), axis=0)                  # (NFEAT, P)
+    return rows[:, gid_sorted]                            # (NFEAT, padded_cap)
+
+
+class _TileGeom(NamedTuple):
+    grid_x: int
+    grid_y: int
+    hpad: int
+    wpad: int
+
+
+def _geom(width: int, height: int) -> _TileGeom:
+    gx = (width + TILE - 1) // TILE
+    gy = (height + TILE - 1) // TILE
+    return _TileGeom(grid_x=gx, grid_y=gy, hpad=gy * TILE, wpad=gx * TILE)
+
+
+def tiles_to_image(x: jnp.ndarray, geom: _TileGeom) -> jnp.ndarray:
+    """(num_tiles, TILE*TILE, C) -> (hpad, wpad, C).  The kernel works in a
+    tile-major layout because TPU blocks must be (8,128)-aligned or
+    full-dimension; the relayout is a cheap fused XLA transpose."""
+    gy, gx = geom.grid_y, geom.grid_x
+    c = x.shape[-1]
+    return (x.reshape(gy, gx, TILE, TILE, c).transpose(0, 2, 1, 3, 4)
+            .reshape(geom.hpad, geom.wpad, c))
+
+
+def image_to_tiles(x: jnp.ndarray, geom: _TileGeom) -> jnp.ndarray:
+    """(hpad, wpad, C) -> (num_tiles, TILE*TILE, C)."""
+    gy, gx = geom.grid_y, geom.grid_x
+    c = x.shape[-1]
+    return (x.reshape(gy, TILE, gx, TILE, c).transpose(0, 2, 1, 3, 4)
+            .reshape(gy * gx, TILE * TILE, c))
+
+
+def _forward_kernel(geom: _TileGeom):
+    """Build the forward compositing kernel for a static tile geometry."""
+    gx = geom.grid_x
+
+    def kernel(starts_ref, ends_ref, feat_hbm, acc_out, logt_out,
+               feat_vmem, acc_ref, logt_ref, sem):
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        end = ends_ref[t]
+        n = end - start
+
+        ty = t // gx
+        tx = t % gx
+        pix = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
+        px = (tx * TILE + pix % TILE).astype(jnp.float32)     # [256, 1]
+        py = (ty * TILE + pix // TILE).astype(jnp.float32)
+
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        logt_ref[...] = jnp.zeros_like(logt_ref)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+        def body(state):
+            k, _ = state
+            off = pl.multiple_of(start + k * CHUNK, CHUNK)
+            copy = pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(off, CHUNK)], feat_vmem, sem)
+            copy.start()
+            copy.wait()
+            fv = feat_vmem[...]                               # [NFEAT, CHUNK]
+
+            dx = fv[R_MX:R_MX + 1, :] - px                    # [256, CHUNK]
+            dy = fv[R_MY:R_MY + 1, :] - py
+            a = fv[R_CA:R_CA + 1, :]
+            b = fv[R_CB:R_CB + 1, :]
+            c = fv[R_CC:R_CC + 1, :]
+            op = fv[R_OP:R_OP + 1, :]
+            power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+            in_len = (lane + k * CHUNK) < n                   # [1, CHUNK]
+            gate = (alpha >= ALPHA_MIN) & (power <= 0.0) & in_len
+            alpha = jnp.where(gate, alpha, 0.0)
+
+            u = jnp.log1p(-alpha)
+            cum = _lane_cumsum(u)
+            logT = logt_ref[...] + (cum - u)                  # exclusive
+            w = jnp.where(gate & (logT >= LOG_T_EPS),
+                          alpha * jnp.exp(logT), 0.0)         # [256, CHUNK]
+
+            contrib = jax.lax.dot_general(
+                w, fv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [256, NFEAT]
+            acc_ref[...] = acc_ref[...] + contrib
+            logt_ref[...] = logt_ref[...] + cum[:, -1:]
+
+            done = jnp.max(logt_ref[...]) < LOG_T_EPS
+            return k + 1, done
+
+        nchunks = (n + CHUNK - 1) // CHUNK
+        jax.lax.while_loop(
+            lambda s: jnp.logical_and(s[0] < nchunks, jnp.logical_not(s[1])),
+            body, (jnp.int32(0), False))
+
+        acc_out[0] = acc_ref[...][:, R_R:R_D + 1]
+        logt_out[0] = logt_ref[...]
+
+    return kernel
+
+
+def _backward_kernel(geom: _TileGeom):
+    """Replay the forward walk, emitting per-instance gradients.
+
+    Per pixel p and instance j (see rasterize_ref.py for notation):
+      L depends on w_j = gate_j * [T_j >= eps] * alpha_j * T_j and on
+      logT_total.  With phi_j = g4 . feat4_j and S_j = sum_{k>j} w_k phi_k
+      = S_total - P_j (P_j inclusive prefix, S_total = g4 . acc4):
+        dL/dalpha_j = gate_j * (T_j phi_j - (S_j + g_logT) / (1 - alpha_j))
+        dL/dcolor_j = w_j * g_rgb ;  dL/ddepth_j = w_j * g_d
+      then the alpha -> (power, opacity) -> (conic, mean2d) chain.
+    """
+    gx = geom.grid_x
+
+    def kernel(starts_ref, ends_ref, feat_hbm, g4_in, stotal_in, glogt_in,
+               gfeat_out_hbm,
+               feat_vmem, gfeat_vmem, logt_ref, pref_ref, sem, osem):
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        end = ends_ref[t]
+        n = end - start
+
+        ty = t // gx
+        tx = t % gx
+        pix = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
+        px = (tx * TILE + pix % TILE).astype(jnp.float32)
+        py = (ty * TILE + pix // TILE).astype(jnp.float32)
+
+        logt_ref[...] = jnp.zeros_like(logt_ref)
+        pref_ref[...] = jnp.zeros_like(pref_ref)
+
+        g4 = g4_in[0]                                         # [256, 4]
+        s_total = stotal_in[0]                                # [256, 1]
+        g_logt = glogt_in[0]                                  # [256, 1]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+        def body(state):
+            k, _ = state
+            off = pl.multiple_of(start + k * CHUNK, CHUNK)
+            copy = pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(off, CHUNK)], feat_vmem, sem)
+            copy.start()
+            copy.wait()
+            fv = feat_vmem[...]
+
+            dx = fv[R_MX:R_MX + 1, :] - px
+            dy = fv[R_MY:R_MY + 1, :] - py
+            a = fv[R_CA:R_CA + 1, :]
+            b = fv[R_CB:R_CB + 1, :]
+            c = fv[R_CC:R_CC + 1, :]
+            op = fv[R_OP:R_OP + 1, :]
+            power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+            expp = jnp.exp(power)
+            v = op * expp
+            alpha = jnp.minimum(ALPHA_MAX, v)
+            in_len = (lane + k * CHUNK) < n
+            gate = (alpha >= ALPHA_MIN) & (power <= 0.0) & in_len
+            alpha_g = jnp.where(gate, alpha, 0.0)
+
+            u = jnp.log1p(-alpha_g)
+            cum = _lane_cumsum(u)
+            logT = logt_ref[...] + (cum - u)
+            T = jnp.exp(logT)
+            live = gate & (logT >= LOG_T_EPS)
+            w = jnp.where(live, alpha * T, 0.0)
+
+            # phi[256, CHUNK] = g4 . feat4 (rows R..D)
+            feat4 = fv[R_R:R_D + 1, :]                         # [4, CHUNK]
+            phi = jax.lax.dot_general(
+                g4, feat4, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [256, CHUNK]
+
+            wphi = w * phi
+            pref = pref_ref[...] + _lane_cumsum(wphi)          # inclusive
+            S = s_total - pref                                  # [256, CHUNK]
+
+            dalpha = jnp.where(live, T * phi, 0.0) - jnp.where(
+                gate, (S + g_logt) / (1.0 - alpha_g), 0.0)
+            clamp_ok = (v < ALPHA_MAX)
+            dpow = jnp.where(clamp_ok, dalpha * alpha, 0.0)    # dv/dpower = v
+            dop_pix = jnp.where(clamp_ok, dalpha * expp, 0.0)
+
+            # reduce over pixels (axis 0) -> per-instance rows [1, CHUNK]
+            dmx = jnp.sum(dpow * (-(a * dx + b * dy)), axis=0, keepdims=True)
+            dmy = jnp.sum(dpow * (-(c * dy + b * dx)), axis=0, keepdims=True)
+            dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
+            dcb = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
+            dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
+            dop = jnp.sum(dop_pix, axis=0, keepdims=True)
+
+            # dfeat4[4, CHUNK] = g4^T @ w
+            dfeat4 = jax.lax.dot_general(
+                g4, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [4, CHUNK]
+
+            zeros6 = jnp.zeros((NFEAT - 10, CHUNK), jnp.float32)
+            gfeat_vmem[...] = jnp.concatenate(
+                [dmx, dmy, dca, dcb, dcc, dop, dfeat4, zeros6], axis=0)
+            ocopy = pltpu.make_async_copy(
+                gfeat_vmem, gfeat_out_hbm.at[:, pl.ds(off, CHUNK)], osem)
+            ocopy.start()
+            ocopy.wait()
+
+            logt_ref[...] = logt_ref[...] + cum[:, -1:]
+            pref_ref[...] = pref[:, -1:]
+            done = jnp.max(logt_ref[...]) < LOG_T_EPS
+            return k + 1, done
+
+        nchunks = (n + CHUNK - 1) // CHUNK
+        k_final, _ = jax.lax.while_loop(
+            lambda s: jnp.logical_and(s[0] < nchunks, jnp.logical_not(s[1])),
+            body, (jnp.int32(0), False))
+
+        # zero-fill instance grads for chunks skipped by the early exit so the
+        # gather transpose never scatters garbage
+        def zero_body(k):
+            gfeat_vmem[...] = jnp.zeros_like(gfeat_vmem)
+            off = pl.multiple_of(start + k * CHUNK, CHUNK)
+            ocopy = pltpu.make_async_copy(
+                gfeat_vmem,
+                gfeat_out_hbm.at[:, pl.ds(off, CHUNK)], osem)
+            ocopy.start()
+            ocopy.wait()
+            return k + 1
+
+        jax.lax.while_loop(lambda k: k < nchunks, zero_body, k_final)
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _composite(feat, starts, ends, slot_valid, width, height):
+    return _composite_fwd_impl(feat, starts, ends, width, height)
+
+
+def _composite_fwd_impl(feat, starts, ends, width, height):
+    geom = _geom(width, height)
+    num_tiles = geom.grid_x * geom.grid_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, TILE * TILE, 4), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, TILE * TILE, 1), lambda t, *_: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NFEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((TILE * TILE, NFEAT), jnp.float32),
+            pltpu.VMEM((TILE * TILE, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    acc, logt = pl.pallas_call(
+        _forward_kernel(geom),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, TILE * TILE, 4), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, TILE * TILE, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(starts, ends, feat)
+    return acc, logt
+
+
+def _composite_fwd(feat, starts, ends, slot_valid, width, height):
+    acc, logt = _composite_fwd_impl(feat, starts, ends, width, height)
+    return (acc, logt), (feat, starts, ends, slot_valid, acc)
+
+
+def _composite_bwd(width, height, res, cts):
+    feat, starts, ends, slot_valid, acc = res
+    g_acc, g_logt = cts
+    geom = _geom(width, height)
+    num_tiles = geom.grid_x * geom.grid_y
+    s_total = jnp.sum(g_acc * acc, axis=-1, keepdims=True)   # (T, 256, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, TILE * TILE, 4), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, TILE * TILE, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, TILE * TILE, 1), lambda t, *_: (t, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((NFEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((NFEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((TILE * TILE, 1), jnp.float32),
+            pltpu.VMEM((TILE * TILE, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    gfeat = pl.pallas_call(
+        _backward_kernel(geom),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(feat.shape, jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, ends, feat, g_acc, s_total, g_logt)[0]
+    # pad slots are never visited by any tile program; mask them so their
+    # (clamped) gather ids receive no gradient
+    gfeat = jnp.where(slot_valid[None, :], gfeat, 0.0)
+    return gfeat, None, None, None
+
+
+_composite.defvjp(_composite_fwd, _composite_bwd)
+
+
+class TiledRenderOutput(NamedTuple):
+    color: jnp.ndarray     # (H, W, 3)
+    depth: jnp.ndarray     # (H, W)
+    final_T: jnp.ndarray   # (H, W)
+    radii: jnp.ndarray     # (P,)
+    overflow: jnp.ndarray  # () int32 dropped instances (monitor; should be 0)
+
+
+def default_key_cap(num_points: int, avg_tiles: float = 4.0) -> int:
+    cap = int(num_points * avg_tiles)
+    return ((cap + CHUNK - 1) // CHUNK) * CHUNK
+
+
+def rasterize_tiled(means3d, scales, rotations, opacities, shs,
+                    viewmatrix, projmatrix, campos, tanfovx, tanfovy,
+                    width: int, height: int, bg,
+                    active_sh_degree=3, scale_modifier: float = 1.0,
+                    colors_precomp=None, means2d_offset=None,
+                    key_cap: int | None = None) -> TiledRenderOutput:
+    """Drop-in equivalent of rasterize_reference with the Pallas fast path."""
+    pre = preprocess(means3d, scales, rotations, opacities, shs,
+                     viewmatrix, projmatrix, campos, tanfovx, tanfovy,
+                     width, height, active_sh_degree, scale_modifier,
+                     colors_precomp=colors_precomp,
+                     means2d_offset=means2d_offset)
+    if key_cap is None:
+        key_cap = default_key_cap(means3d.shape[0])
+
+    binning = bin_gaussians(jax.tree.map(jax.lax.stop_gradient, pre),
+                            width, height, key_cap)
+    feat = _pack_features(pre, binning.gid_sorted)
+    acc_t, logt_t = _composite(feat, binning.tile_starts, binning.tile_ends,
+                               binning.slot_valid, width, height)
+    geom = _geom(width, height)
+    acc = tiles_to_image(acc_t, geom)[:height, :width]
+    logt = tiles_to_image(logt_t, geom)[:height, :width, 0]
+    final_T = jnp.exp(logt)
+    color = acc[..., :3] + final_T[..., None] * jnp.asarray(bg, acc.dtype)
+    return TiledRenderOutput(color=color, depth=acc[..., 3], final_T=final_T,
+                             radii=pre.radii, overflow=binning.overflow)

@@ -121,7 +121,9 @@ def composite_reference(pre: Preprocessed, bg, width, height, chunk=64):
           opac.reshape(-1, chunk), alive.reshape(-1, chunk),
           rmn.reshape(-1, chunk, 2), rmx.reshape(-1, chunk, 2))
     xs = jax.tree.map(lambda t: jnp.swapaxes(t, 0, 0), xs)
-    (logT, acc), _ = jax.lax.scan(body, (logT0, acc0), xs)
+    # remat per chunk: otherwise autodiff saves the full [chunk, H, W] alpha
+    # stack for every scan step (gigabytes at 512^2)
+    (logT, acc), _ = jax.lax.scan(jax.checkpoint(body), (logT0, acc0), xs)
 
     final_T = jnp.exp(logT)
     color = acc[..., :3] + final_T[..., None] * jnp.asarray(bg, dtype)

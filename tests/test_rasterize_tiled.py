@@ -1,0 +1,103 @@
+"""Parity tests: Pallas tile-binned rasterizer (interpret mode on CPU) vs the
+pure-JAX oracle — forward images and full VJP."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mom_tpu.ops.rasterize_ref import rasterize_reference
+from mom_tpu.ops.rasterize import rasterize_tiled, bin_gaussians, default_key_cap
+from mom_tpu.ops.preprocess import preprocess
+from tests.test_rasterize_ref import make_scene, make_camera
+
+
+def _args(cam, params, **kw):
+    means, scales, q, opac, shs = params
+    return dict(means3d=means, scales=scales, rotations=q, opacities=opac,
+                shs=shs, viewmatrix=jnp.asarray(cam.world_view),
+                projmatrix=jnp.asarray(cam.full_proj),
+                campos=jnp.asarray(cam.camera_center),
+                tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+                width=cam.width, height=cam.height, **kw)
+
+
+def test_binning_covers_all_instances():
+    cam, params = make_scene(n=40, width=48, height=32)
+    kwargs = _args(cam, params, bg=jnp.zeros(3))
+    pre = preprocess(kwargs["means3d"], kwargs["scales"], kwargs["rotations"],
+                     kwargs["opacities"], kwargs["shs"], kwargs["viewmatrix"],
+                     kwargs["projmatrix"], kwargs["campos"],
+                     kwargs["tanfovx"], kwargs["tanfovy"], 48, 32)
+    b = bin_gaussians(pre, 48, 32, key_cap=default_key_cap(40, 32.0))
+    assert int(b.overflow) == 0
+    starts, ends = np.asarray(b.tile_starts), np.asarray(b.tile_ends)
+    assert starts[0] == 0
+    assert np.all(ends >= starts)
+    # CHUNK-aligned padded segments
+    from mom_tpu.ops.rasterize import CHUNK
+    assert np.all(starts % CHUNK == 0)
+    next_start = np.concatenate([starts[1:], [np.asarray(b.slot_valid).size]])
+    assert np.all(ends <= next_start)
+    # every real instance appears exactly once
+    assert int(np.asarray(b.slot_valid).sum()) == int(b.num_keys)
+    assert (ends - starts).sum() == int(b.num_keys)
+
+
+def test_tiled_matches_oracle_forward():
+    cam, params = make_scene(n=120, width=48, height=32, seed=3)
+    bg = jnp.array([0.2, 0.3, 0.4])
+    ref = rasterize_reference(**_args(cam, params, bg=bg))
+    til = rasterize_tiled(**_args(cam, params, bg=bg))
+    assert int(til.overflow) == 0
+    np.testing.assert_allclose(np.asarray(til.color), np.asarray(ref.color),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(til.depth), np.asarray(ref.depth),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(til.final_T), np.asarray(ref.final_T),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(til.radii), np.asarray(ref.radii))
+
+
+def test_tiled_matches_oracle_gradients():
+    cam, params = make_scene(n=60, width=32, height=32, seed=7)
+    bg = jnp.array([0.1, 0.1, 0.1])
+    target = jnp.zeros((32, 32, 3)) + 0.5
+
+    def loss_fn(raster):
+        def loss(means, scales, q, opac, shs):
+            out = raster(**_args(cam, (means, scales, q, opac, shs), bg=bg))
+            return (jnp.abs(out.color - target).mean()
+                    + 0.01 * out.depth.mean() + 0.001 * out.final_T.mean())
+        return loss
+
+    g_ref = jax.grad(loss_fn(rasterize_reference), argnums=(0, 1, 2, 3, 4))(*params)
+    g_til = jax.grad(loss_fn(rasterize_tiled), argnums=(0, 1, 2, 3, 4))(*params)
+    names = ["means", "scales", "quats", "opacity", "shs"]
+    for name, gr, gt in zip(names, g_ref, g_til):
+        gr, gt = np.asarray(gr), np.asarray(gt)
+        assert np.all(np.isfinite(gt)), name
+        scale = np.abs(gr).max() + 1e-8
+        np.testing.assert_allclose(gt, gr, atol=3e-4 * scale + 1e-8,
+                                   err_msg=name)
+
+
+def test_tiled_means2d_offset_gradient_matches():
+    cam, params = make_scene(n=30, width=32, height=16, seed=11)
+    bg = jnp.zeros(3)
+    off = jnp.zeros((30, 2))
+
+    def loss(raster, o):
+        out = raster(**_args(cam, params, bg=bg, means2d_offset=o))
+        return jnp.sum((out.color - 0.25) ** 2)
+
+    g_ref = jax.grad(lambda o: loss(rasterize_reference, o))(off)
+    g_til = jax.grad(lambda o: loss(rasterize_tiled, o))(off)
+    scale = np.abs(np.asarray(g_ref)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(g_til), np.asarray(g_ref),
+                               atol=3e-4 * scale)
+
+
+def test_key_cap_overflow_reported():
+    cam, params = make_scene(n=120, width=48, height=32, seed=3)
+    out = rasterize_tiled(**_args(cam, params, bg=jnp.zeros(3)), key_cap=128)
+    assert int(out.overflow) > 0
