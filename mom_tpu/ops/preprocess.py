@@ -121,7 +121,8 @@ def preprocess(means3d: jnp.ndarray,
                scale_modifier: float = 1.0,
                colors_precomp: jnp.ndarray | None = None,
                cov3d_precomp: jnp.ndarray | None = None,
-               means2d_offset: jnp.ndarray | None = None) -> Preprocessed:
+               means2d_offset: jnp.ndarray | None = None,
+               alive_mask: jnp.ndarray | None = None) -> Preprocessed:
     """All inputs already activated (exp scales, normalized quats, sigmoid
     opacity), matching what the reference feeds its rasterizer
     (gaussian_renderer/__init__.py:130-132,158-166).
@@ -175,8 +176,20 @@ def preprocess(means3d: jnp.ndarray,
         colors = colors_precomp
 
     valid = in_front & det_ok
+    if alive_mask is not None:
+        # dead fixed-capacity slots: excluded from binning and rendering
+        valid = valid & alive_mask
     radii = jnp.where(valid, radius, 0.0)
     opac = opacities.reshape(P)
+
+    # sanitize culled gaussians: their view-z can be ~0 (NaN/inf conic and
+    # SH direction); they never contribute, but 0 * NaN would still poison
+    # the compositing sums
+    v1 = valid[..., None]
+    mean2d = jnp.where(v1, mean2d, 0.0)
+    conic = jnp.where(v1, conic, jnp.array([1.0, 0.0, 1.0]))
+    colors = jnp.where(v1, colors, 0.0)
+    depths = jnp.where(valid, depths, 0.0)
     return Preprocessed(means2d=mean2d, conic=conic, depths=depths,
                         radii=radii, colors=colors, opacities=opac,
                         valid=valid)

@@ -490,13 +490,13 @@ def rasterize_tiled(means3d, scales, rotations, opacities, shs,
                     width: int, height: int, bg,
                     active_sh_degree=3, scale_modifier: float = 1.0,
                     colors_precomp=None, means2d_offset=None,
-                    key_cap: int | None = None) -> TiledRenderOutput:
+                    alive_mask=None, key_cap: int | None = None) -> TiledRenderOutput:
     """Drop-in equivalent of rasterize_reference with the Pallas fast path."""
     pre = preprocess(means3d, scales, rotations, opacities, shs,
                      viewmatrix, projmatrix, campos, tanfovx, tanfovy,
                      width, height, active_sh_degree, scale_modifier,
                      colors_precomp=colors_precomp,
-                     means2d_offset=means2d_offset)
+                     means2d_offset=means2d_offset, alive_mask=alive_mask)
     if key_cap is None:
         key_cap = default_key_cap(means3d.shape[0])
 

@@ -135,12 +135,12 @@ def rasterize_reference(means3d, scales, rotations, opacities, shs,
                         width: int, height: int, bg,
                         active_sh_degree=3, scale_modifier: float = 1.0,
                         colors_precomp=None, means2d_offset=None,
-                        chunk: int = 64) -> RenderOutput:
+                        alive_mask=None, chunk: int = 64) -> RenderOutput:
     pre = preprocess(means3d, scales, rotations, opacities, shs,
                      viewmatrix, projmatrix, campos, tanfovx, tanfovy,
                      width, height, active_sh_degree, scale_modifier,
                      colors_precomp=colors_precomp,
-                     means2d_offset=means2d_offset)
+                     means2d_offset=means2d_offset, alive_mask=alive_mask)
     color, depth, final_T = composite_reference(pre, bg, width, height, chunk)
     return RenderOutput(color=color, depth=depth, final_T=final_T,
                         radii=pre.radii)

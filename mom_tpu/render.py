@@ -1,0 +1,80 @@
+"""Top-level render function — the equivalent of render()
+(gaussian_renderer/__init__.py:22-178), fully jittable.
+
+Order of operations matches the reference exactly:
+- coarse stage: raw parameters go straight to the rasterizer (:85-87)
+- fine stage: the deformation net consumes RAW (pre-activation) parameters
+  and the scene-flow advection term (:101-103)
+- activations (exp / normalize / sigmoid) are applied AFTER deformation
+  (:130-132)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .models import gaussians as G
+from .models import deformation as D
+from .ops.rasterize import rasterize_tiled, TiledRenderOutput
+from .ops.rasterize_ref import rasterize_reference
+
+
+class RenderResult(NamedTuple):
+    color: jnp.ndarray
+    depth: jnp.ndarray
+    final_T: jnp.ndarray
+    radii: jnp.ndarray
+    overflow: jnp.ndarray   # 0 for the oracle backend
+
+
+def render(params: G.GaussianParams, aux: G.GaussianAux,
+           deform_params: dict | None, deform_cfg: D.DeformConfig | None,
+           cam: dict, width: int, height: int, bg,
+           stage: str = "fine", active_sh_degree=3,
+           delta_scale: float = 1.0, scaling_modifier: float = 1.0,
+           means2d_offset: jnp.ndarray | None = None,
+           key_cap: int | None = None,
+           backend: str = "tiled") -> RenderResult:
+    """cam: packed camera dict (mom_tpu/cameras.py pack()): viewmatrix,
+    projmatrix, campos, tanfovx, tanfovy, time, frame_num."""
+    means3d = params.xyz
+    opacity_raw = params.opacity
+    shs = G.get_features(params)
+    scales_raw = params.scaling
+    rot_raw = params.rotation
+
+    if stage == "coarse":
+        means_f, scales_f, rot_f, opac_f, shs_f = (
+            means3d, scales_raw, rot_raw, opacity_raw, shs)
+    else:
+        n = means3d.shape[0]
+        times = jnp.broadcast_to(cam["time"], (n,))
+        means_f, scales_f, rot_f, opac_f, shs_f = D.deform(
+            deform_params, deform_cfg, means3d, scales_raw, rot_raw,
+            opacity_raw, shs, times, aux.scene_flow, cam["frame_num"],
+            delta_scale)
+
+    scales_act = jnp.exp(scales_f) * scaling_modifier
+    rot_act = rot_f / jnp.linalg.norm(rot_f, axis=-1, keepdims=True)
+    opac_act = jax.nn.sigmoid(opac_f)
+
+    common = dict(
+        means3d=means_f, scales=scales_act, rotations=rot_act,
+        opacities=opac_act[:, 0], shs=shs_f,
+        viewmatrix=cam["viewmatrix"], projmatrix=cam["projmatrix"],
+        campos=cam["campos"], tanfovx=cam["tanfovx"], tanfovy=cam["tanfovy"],
+        width=width, height=height, bg=bg,
+        active_sh_degree=active_sh_degree,
+        means2d_offset=means2d_offset, alive_mask=aux.alive,
+    )
+    if backend == "tiled":
+        out = rasterize_tiled(**common, key_cap=key_cap)
+        overflow = out.overflow
+    else:
+        out = rasterize_reference(**common)
+        overflow = jnp.zeros((), jnp.int32)
+    return RenderResult(color=out.color, depth=out.depth, final_T=out.final_T,
+                        radii=out.radii, overflow=overflow)
