@@ -1,0 +1,194 @@
+"""Checkpoint IO.
+
+Two families, mirroring the reference (SURVEY.md §5 checkpoint/resume):
+
+1. Inference artifacts under point_cloud/iteration_N/ — cross-compatible
+   with the reference loaders:
+   - point_cloud.ply          (data/ply.py, exact attribute order)
+   - deformation.pth          torch state dict with the reference's key
+                              names (deform_network, scene/deformation.py)
+   - deformation_table.pth / deformation_accum.pth / scene_flow.pth
+2. Fast native training checkpoints (chkpnt_{stage}_{iter}.npz) holding the
+   full TrainState for exact resume (replaces gaussians.capture(),
+   gaussian_model.py:72-91; also used by the NaN-rewind guard that replaces
+   the reference's os.execv restart, train_4DGS.py:224-226).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# torch-compatible deformation state dict
+
+def _torch():
+    import torch
+    return torch
+
+
+def deformation_to_torch_state(deform_params: dict, deform_cfg) -> dict:
+    """Our pytree -> reference deform_network state_dict keys.  Linear
+    weights transpose to torch's (out, in) layout."""
+    torch = _torch()
+    t = lambda x: torch.tensor(np.asarray(x))
+    sd = {}
+
+    def put_linear(prefix, lin):
+        sd[f"{prefix}.weight"] = t(np.asarray(lin["w"]).T)
+        sd[f"{prefix}.bias"] = t(lin["b"])
+
+    # timenet = Sequential(Linear@0, ReLU@1, Linear@2)
+    put_linear("timenet.0", deform_params["timenet"][0])
+    put_linear("timenet.2", deform_params["timenet"][1])
+
+    # buffers registered on deform_network (deformation.py:183-186)
+    sd["time_poc"] = t([2.0 ** i for i in range(4)])
+    sd["pos_poc"] = t([2.0 ** i for i in range(10)])
+    sd["rotation_scaling_poc"] = t([2.0 ** i for i in range(2)])
+    sd["opacity_poc"] = t([2.0 ** i for i in range(2)])
+
+    # grids: ModuleList of ParameterLists -> grids.{scale}.{plane}
+    grid = deform_params["grid"]
+    for si, planes in enumerate(grid["grids"]):
+        for pi, plane in enumerate(planes):
+            sd[f"deformation_net.grid.grids.{si}.{pi}"] = t(
+                np.asarray(plane)[None])        # reference keeps a leading 1
+    sd["deformation_net.grid.aabb"] = t(grid["aabb"])
+
+    # feature_out Linears at even indices
+    for i, lin in enumerate(deform_params["feature_out"]):
+        put_linear(f"deformation_net.feature_out.{2 * i}", lin)
+
+    # heads: Sequential(ReLU@0, Linear@1, ReLU@2, Linear@3)
+    for name in ("pos_deform", "scales_deform", "rotations_deform",
+                 "opacity_deform", "shs_deform"):
+        put_linear(f"deformation_net.{name}.1", deform_params[name][0])
+        put_linear(f"deformation_net.{name}.3", deform_params[name][1])
+    return sd
+
+
+def deformation_from_torch_state(sd: dict, deform_params_template: dict) -> dict:
+    """Reference state dict -> our pytree (shapes validated against the
+    template built by init_deformation)."""
+    a = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
+
+    def get_linear(prefix):
+        return {"w": a(sd[f"{prefix}.weight"]).T, "b": a(sd[f"{prefix}.bias"])}
+
+    out = dict(deform_params_template)
+    out["timenet"] = [get_linear("timenet.0"), get_linear("timenet.2")]
+    grids = []
+    si = 0
+    while f"deformation_net.grid.grids.{si}.0" in sd:
+        planes = []
+        pi = 0
+        while f"deformation_net.grid.grids.{si}.{pi}" in sd:
+            planes.append(a(sd[f"deformation_net.grid.grids.{si}.{pi}"])[0])
+            pi += 1
+        grids.append(planes)
+        si += 1
+    out["grid"] = {"grids": grids,
+                   "aabb": a(sd["deformation_net.grid.aabb"])}
+    out["feature_out"] = [
+        get_linear(f"deformation_net.feature_out.{2 * i}")
+        for i in range(len(deform_params_template["feature_out"]))]
+    for name in ("pos_deform", "scales_deform", "rotations_deform",
+                 "opacity_deform", "shs_deform"):
+        out[name] = [get_linear(f"deformation_net.{name}.1"),
+                     get_linear(f"deformation_net.{name}.3")]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# inference artifact save/load (scene/__init__.py:91-94, gaussian_model.py
+# save_deformation :336-340 / load_model :321-334)
+
+def save_point_cloud_dir(dirpath: str, gauss_state, deform_params,
+                         deform_cfg):
+    from .ply import save_gaussian_ply
+    torch = _torch()
+    os.makedirs(dirpath, exist_ok=True)
+    alive = np.asarray(gauss_state.aux.alive)
+    p = gauss_state.params
+    save_gaussian_ply(
+        os.path.join(dirpath, "point_cloud.ply"),
+        np.asarray(p.xyz)[alive], np.asarray(p.features_dc)[alive],
+        np.asarray(p.features_rest)[alive], np.asarray(p.opacity)[alive],
+        np.asarray(p.scaling)[alive], np.asarray(p.rotation)[alive])
+    torch.save(deformation_to_torch_state(deform_params, deform_cfg),
+               os.path.join(dirpath, "deformation.pth"))
+    torch.save(torch.tensor(np.asarray(gauss_state.aux.deformation_table)[alive]),
+               os.path.join(dirpath, "deformation_table.pth"))
+    torch.save(torch.tensor(np.asarray(gauss_state.aux.deformation_accum)[alive]),
+               os.path.join(dirpath, "deformation_accum.pth"))
+    torch.save(torch.tensor(np.asarray(gauss_state.aux.scene_flow)[alive]),
+               os.path.join(dirpath, "scene_flow.pth"))
+
+
+def load_point_cloud_dir(dirpath: str, capacity: int,
+                         deform_params_template: dict):
+    """Returns (GaussianState, deform_params)."""
+    from .ply import load_gaussian_ply
+    from ..models import gaussians as G
+    torch = _torch()
+    d = load_gaussian_ply(os.path.join(dirpath, "point_cloud.ply"))
+    n = d["xyz"].shape[0]
+    assert n <= capacity, (n, capacity)
+
+    def padded(x, fill):
+        out = np.full((capacity,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    params = G.GaussianParams(
+        xyz=padded(d["xyz"], G.DEAD_XYZ),
+        features_dc=padded(d["features_dc"], 0.0),
+        features_rest=padded(d["features_rest"], 0.0),
+        scaling=padded(d["scaling"], G.DEAD_SCALE),
+        rotation=padded(d["rotation"], 0.0).at[n:, 0].set(1.0),
+        opacity=padded(d["opacity"], G.DEAD_OPACITY),
+    )
+    sf = torch.load(os.path.join(dirpath, "scene_flow.pth"),
+                    map_location="cpu", weights_only=False)
+    sf = np.asarray(sf.detach() if hasattr(sf, "detach") else sf, np.float32)
+    if sf.shape[0] == 3 and sf.shape[0] != n:
+        sf = sf.T
+    aux = G.GaussianAux(
+        alive=jnp.zeros(capacity, bool).at[:n].set(True),
+        scene_flow=padded(sf[:n], 0.0),
+        max_radii2d=jnp.zeros(capacity, jnp.float32),
+        xyz_gradient_accum=jnp.zeros(capacity, jnp.float32),
+        denom=jnp.zeros(capacity, jnp.float32),
+        deformation_accum=jnp.zeros((capacity, 3), jnp.float32),
+        deformation_table=jnp.ones(capacity, bool),
+    )
+    sd = torch.load(os.path.join(dirpath, "deformation.pth"),
+                    map_location="cpu", weights_only=False)
+    deform = deformation_from_torch_state(sd, deform_params_template)
+    return G.GaussianState(params=params, aux=aux), deform
+
+
+# ---------------------------------------------------------------------------
+# native full-state checkpoints
+
+def save_train_state(path: str, state, extra: dict | None = None):
+    flat, treedef = jax.tree.flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+    if extra:
+        arrays.update({f"extra_{k}": np.asarray(v) for k, v in extra.items()})
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_train_state(path: str, state_template):
+    data = np.load(path, allow_pickle=False)
+    flat, treedef = jax.tree.flatten(state_template)
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(flat))]
+    extra = {k[len("extra_"):]: data[k] for k in data.files
+             if k.startswith("extra_")}
+    return jax.tree.unflatten(treedef, leaves), extra

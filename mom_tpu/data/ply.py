@@ -48,47 +48,71 @@ def save_gaussian_ply(path: str, xyz: np.ndarray, features_dc: np.ndarray,
               f"element vertex {n}"]
     header += [f"property float {name}" for name in names]
     header += ["end_header"]
-    rec = np.core.records.fromarrays(attrs.T, names=",".join(names),
-                                     formats=",".join(["<f4"] * len(names)))
+    # contiguous float32 rows are already the exact binary vertex layout
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
-        rec.tofile(f)
+        f.write(np.ascontiguousarray(attrs).tobytes())
+
+
+_PLY_TYPES = {
+    "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+    "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+    "short": "<i2", "ushort": "<u2", "int": "<i4", "int32": "<i4",
+    "uint": "<u4", "uint32": "<u4",
+}
+
+
+def read_ply_vertices(path: str):
+    """Minimal binary_little_endian PLY vertex reader (no plyfile
+    dependency).  Returns a numpy structured array."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        fmt = next(l for l in header if l.startswith("format")).split()[1]
+        assert fmt == "binary_little_endian", fmt
+        n = int(next(l for l in header
+                     if l.startswith("element vertex")).split()[-1])
+        props = []
+        in_vertex = False
+        for line in header:
+            if line.startswith("element"):
+                in_vertex = line.startswith("element vertex")
+            elif line.startswith("property") and in_vertex:
+                _, ptype, name = line.split()
+                props.append((name, _PLY_TYPES[ptype]))
+        dtype = np.dtype(props)
+        return np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
 
 
 def load_gaussian_ply(path: str, max_sh_degree: int = 3):
     """Returns dict with xyz (N,3), features_dc (N,1,3), features_rest
     (N,K,3), opacity (N,1), scaling (N,3), rotation (N,4) — mirror of
-    load_ply (gaussian_model.py:367-407).  Uses plyfile for robustness to
-    reference-written files."""
-    from plyfile import PlyData
-    plydata = PlyData.read(path)
-    v = plydata.elements[0]
-    xyz = np.stack([np.asarray(v["x"]), np.asarray(v["y"]),
-                    np.asarray(v["z"])], axis=1)
+    load_ply (gaussian_model.py:367-407)."""
+    v = read_ply_vertices(path)
+    names = v.dtype.names
+    xyz = np.stack([v["x"], v["y"], v["z"]], axis=1)
     n = xyz.shape[0]
     opacity = np.asarray(v["opacity"])[:, None]
 
-    f_dc = np.zeros((n, 3, 1), np.float32)
-    for i in range(3):
-        f_dc[:, i, 0] = np.asarray(v[f"f_dc_{i}"])
+    f_dc = np.stack([v[f"f_dc_{i}"] for i in range(3)], axis=1)[..., None]
 
-    rest_names = sorted((p.name for p in v.properties
-                         if p.name.startswith("f_rest_")),
+    rest_names = sorted((name for name in names
+                         if name.startswith("f_rest_")),
                         key=lambda x: int(x.split("_")[-1]))
     assert len(rest_names) == 3 * (max_sh_degree + 1) ** 2 - 3
-    f_rest = np.zeros((n, len(rest_names)), np.float32)
-    for i, name in enumerate(rest_names):
-        f_rest[:, i] = np.asarray(v[name])
+    f_rest = np.stack([v[name] for name in rest_names], axis=1)
     f_rest = f_rest.reshape(n, 3, (max_sh_degree + 1) ** 2 - 1)
 
-    scale_names = sorted((p.name for p in v.properties
-                          if p.name.startswith("scale_")),
+    scale_names = sorted((name for name in names if name.startswith("scale_")),
                          key=lambda x: int(x.split("_")[-1]))
-    scaling = np.stack([np.asarray(v[name]) for name in scale_names], axis=1)
-    rot_names = sorted((p.name for p in v.properties
-                        if p.name.startswith("rot")),
+    scaling = np.stack([v[name] for name in scale_names], axis=1)
+    rot_names = sorted((name for name in names if name.startswith("rot")),
                        key=lambda x: int(x.split("_")[-1]))
-    rotation = np.stack([np.asarray(v[name]) for name in rot_names], axis=1)
+    rotation = np.stack([v[name] for name in rot_names], axis=1)
 
     return {
         "xyz": xyz.astype(np.float32),

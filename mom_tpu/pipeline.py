@@ -1,0 +1,275 @@
+"""High-level training / rendering pipeline — the orchestration equivalent of
+train_4DGS.py (training(), scene_reconstruction()) and render_4DGS.py
+(render_sets()), driving the jitted step functions in train/loop.py."""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import config as C
+from .cameras import Camera, pack_cameras
+from .data.scene import SceneData
+from .data import checkpoints as ckpt
+from .models import gaussians as G
+from .models import deformation as D
+from .models.hexplane import HexPlaneConfig, set_aabb
+from .render import render as render_fn
+from .train import optim
+from .train.loop import (TrainState, make_train_step, densify_op, prune_op,
+                         reset_opacity_op, Schedule, ViewpointSampler,
+                         _params_by_group)
+from .utils.timer import Timer
+
+
+def deform_config_from_hidden(hidden: C.ModelHiddenParams) -> D.DeformConfig:
+    kc = hidden.kplanes_config
+    grid = HexPlaneConfig(out_dim=kc["output_coordinate_dim"],
+                          resolution=tuple(kc["resolution"]),
+                          multires=tuple(hidden.multires))
+    return D.DeformConfig(
+        net_width=hidden.net_width, defor_depth=hidden.defor_depth,
+        timebase_pe=hidden.timebase_pe, timenet_width=hidden.timenet_width,
+        timenet_output=hidden.timenet_output, grid=grid,
+        bounds=hidden.bounds, no_dx=hidden.no_dx, no_ds=hidden.no_ds,
+        no_dr=hidden.no_dr, no_do=hidden.no_do, no_dshs=hidden.no_dshs,
+        apply_rotation=hidden.apply_rotation)
+
+
+def pick_capacity(n_init: int, opt_cfg: C.OptimizationParams) -> int:
+    cap = max(int(n_init * 1.25), int(opt_cfg.max_gaussians * 1.15))
+    return ((cap + 1023) // 1024) * 1024
+
+
+def default_key_cap_for(n: int, width: int, height: int) -> int:
+    # ~8 tiles per gaussian average headroom; overflow is monitored
+    cap = n * 8
+    return ((cap + 127) // 128) * 128
+
+
+def build_initial_state(scene: SceneData, hidden: C.ModelHiddenParams,
+                        opt_cfg: C.OptimizationParams, flow_scale: float,
+                        seed: int = 6666):
+    deform_cfg = deform_config_from_hidden(hidden)
+    capacity = pick_capacity(scene.point_cloud.points.shape[0], opt_cfg)
+    gauss = G.create_from_pcd(scene.point_cloud.points,
+                              scene.point_cloud.colors,
+                              scene.scene_flow, flow_scale, capacity)
+    deform = D.init_deformation(jax.random.PRNGKey(seed), deform_cfg)
+    deform["grid"] = set_aabb(deform["grid"], scene.xyz_max, scene.xyz_min)
+    groups = _params_by_group(gauss.params, deform)
+    adam = optim.init_adam(groups)
+    state = TrainState(gauss=gauss, deform=deform, adam=adam,
+                       rng=jax.random.PRNGKey(seed))
+    return state, deform_cfg, capacity
+
+
+def stage_cameras(scene: SceneData, stage: str):
+    return scene.train_cams if stage == "coarse" else scene.train2_cams
+
+
+def _gt_stack(cams) -> np.ndarray:
+    return np.stack([c.image for c in cams])          # (N, H, W, 3) uint8
+
+
+def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
+                         opt_cfg, hidden, pipe, stage: str, final_iter: int,
+                         model_path: str, save_iterations=(),
+                         video_iterations=(), checkpoint_iterations=(),
+                         bg=(0, 0, 0), timer: Timer | None = None,
+                         backend: str = "tiled", log_every: int = 100,
+                         seed: int = 6666, key_cap: int | None = None,
+                         progress=True):
+    """One training stage (train_4DGS.py:48-301)."""
+    cams = stage_cameras(scene, stage)
+    packed = pack_cameras(cams)
+    gts = _gt_stack(cams)
+    W, H = scene.width, scene.height
+    if key_cap is None:
+        key_cap = default_key_cap_for(state.gauss.capacity, W, H)
+
+    step = make_train_step(opt_cfg, hidden, deform_cfg, W, H, stage,
+                           spatial_lr_scale=scene.cameras_extent, bg=bg,
+                           key_cap=key_cap, backend=backend)
+    sched = Schedule(opt_cfg, stage)
+    sampler = ViewpointSampler(len(cams), seed=seed)
+    timer = timer or Timer()
+    timer.start()
+
+    # fresh optimizer per stage (training_setup is called per stage,
+    # train_4DGS.py:54)
+    groups = _params_by_group(state.gauss.params, state.deform)
+    state = state._replace(adam=optim.init_adam(groups))
+
+    num_alive = int(state.gauss.num_alive)
+    sh_degree = 0
+    metrics = None
+    history = []
+    last_good = None
+
+    for iteration in range(1, final_iter + 1):
+        if iteration % 1000 == 0 and sh_degree < 3:
+            sh_degree += 1
+
+        vi = sampler.next()
+        camb = {k: jnp.asarray(v[vi:vi + 1]) for k, v in packed.items()}
+        gtb = jnp.asarray(gts[vi:vi + 1])
+
+        candidate = (iteration < opt_cfg.densify_until_iter
+                     and (iteration % opt_cfg.densification_interval == 0
+                          or iteration % opt_cfg.pruning_interval == 0
+                          or iteration % opt_cfg.opacity_reset_interval == 0))
+        if candidate:
+            num_alive = int(state.gauss.num_alive)
+        do_densify, do_prune, do_reset = sched.structural_actions(
+            iteration, num_alive)
+        structural = do_densify or do_prune or do_reset
+
+        state, metrics = step(state, camb, gtb,
+                              jnp.asarray(iteration, jnp.float32),
+                              jnp.asarray(sh_degree, jnp.int32),
+                              freeze_points=structural)
+
+        if structural:
+            opac_th, dens_th = sched.thresholds(iteration)
+            size_th = sched.size_threshold(iteration)
+            if do_densify:
+                state = densify_op(state, dens_th, opt_cfg.percent_dense,
+                                   scene.cameras_extent)
+            if do_prune:
+                state = prune_op(state, opac_th, scene.cameras_extent,
+                                 size_th if size_th is not None else 0.0,
+                                 size_th is not None)
+            if do_reset:
+                state = reset_opacity_op(state)
+
+        if iteration % log_every == 0 or iteration == final_iter:
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append({"iter": iteration, **m})
+            if progress:
+                print(f"[{stage} {iteration}/{final_iter}] "
+                      f"loss={m['loss']:.5f} psnr={m['psnr']:.2f} "
+                      f"points={int(m['points'])} overflow={int(m['overflow'])}",
+                      flush=True)
+            if math.isnan(m["loss"]):
+                # NaN guard: rewind instead of the reference's os.execv
+                # restart (train_4DGS.py:224-226)
+                if last_good is not None:
+                    print("loss is NaN — rewinding to last good state")
+                    state = jax.device_put(last_good)
+                else:
+                    raise FloatingPointError("NaN loss with no checkpoint")
+            elif iteration % 500 == 0 or last_good is None:
+                # host snapshot (device buffers get donated every step)
+                last_good = jax.device_get(state)
+
+        if iteration in save_iterations:
+            timer.pause()
+            save_scene(model_path, iteration, state, deform_cfg)
+            timer.start()
+        if iteration in video_iterations:
+            timer.pause()
+            render_training_videos(model_path, iteration, state, deform_cfg,
+                                   scene, stage, bg, backend, key_cap)
+            timer.start()
+        if iteration in checkpoint_iterations:
+            ckpt.save_train_state(
+                os.path.join(model_path, f"chkpnt_{stage}_{iteration}.npz"),
+                state, {"iteration": iteration})
+
+    return state, history
+
+
+def save_scene(model_path: str, iteration: int, state: TrainState,
+               deform_cfg):
+    out = os.path.join(model_path, "point_cloud", f"iteration_{iteration}")
+    print(f"\n[ITER {iteration}] Saving Gaussians to {out}")
+    ckpt.save_point_cloud_dir(out, state.gauss, state.deform, deform_cfg)
+
+
+def make_render_jit(state: TrainState, deform_cfg, W, H, bg, stage="fine",
+                    backend="tiled", key_cap=None):
+    @jax.jit
+    def rf(params, aux, deform, cam):
+        out = render_fn(params, aux, deform, deform_cfg, cam, W, H,
+                        jnp.asarray(bg, jnp.float32), stage=stage,
+                        active_sh_degree=3, delta_scale=1.0,
+                        key_cap=key_cap, backend=backend)
+        return jnp.clip(out.color, 0.0, 1.0)
+    return rf
+
+
+def render_trajectory(state: TrainState, deform_cfg, cams: list[Camera],
+                      W, H, bg, backend="tiled", key_cap=None,
+                      rf=None):
+    """Renders a camera list; returns (frames uint8 list, fps)."""
+    if rf is None:
+        rf = make_render_jit(state, deform_cfg, W, H, bg, backend=backend,
+                             key_cap=key_cap)
+    frames = []
+    t1 = None
+    for i, cam in enumerate(cams):
+        camj = {k: jnp.asarray(v) for k, v in cam.pack().items()}
+        img = rf(state.gauss.params, state.gauss.aux, state.deform, camj)
+        img.block_until_ready()
+        if i == 0:
+            t1 = time.time()   # reference starts timing at frame 0
+        frames.append(np.asarray(img * 255).astype(np.uint8))
+    t2 = time.time()
+    fps = (len(cams) - 1) / max(t2 - t1, 1e-9)
+    return frames, fps
+
+
+def render_training_videos(model_path, iteration, state, deform_cfg, scene,
+                           stage, bg, backend, key_cap, crop=32):
+    """render_video during training (train_4DGS.py:335-352)."""
+    import imageio
+    outdir = os.path.join(model_path, "video", f"itrs_{iteration}")
+    os.makedirs(outdir, exist_ok=True)
+    rf = make_render_jit(state, deform_cfg, scene.width, scene.height, bg,
+                         stage=stage, backend=backend, key_cap=key_cap)
+    name_map = {"up-down": "up_down", "side": "side", "zoom-in": "zoom_in",
+                "circle": "circle"}
+    for name, cams in scene.video_cams.items():
+        frames, _ = render_trajectory(state, deform_cfg, cams, scene.width,
+                                      scene.height, bg, rf=rf)
+        frames = [f[crop:-crop, crop:-crop] for f in frames]
+        imageio.mimwrite(os.path.join(outdir, name_map[name] + ".mp4"),
+                         frames, fps=30, quality=8)
+
+
+def render_sets(model_path: str, state: TrainState, deform_cfg,
+                scene: SceneData, bg=(0, 0, 0), backend="tiled",
+                key_cap=None, crop=32):
+    """Stage-3 rendering (render_4DGS.py:50-90): 4 trajectories -> PNG frames
+    + mp4s, printing FPS."""
+    import imageio
+    from PIL import Image
+    name_map = {"up-down": "up_down", "side": "side", "zoom-in": "zoom",
+                "circle": "circle"}
+    rf = make_render_jit(state, deform_cfg, scene.width, scene.height, bg,
+                         backend=backend, key_cap=key_cap)
+    fps_all = {}
+    for name, cams in scene.video_cams.items():
+        out_name = name_map[name]
+        frame_dir = os.path.join(model_path, "frame_result", out_name)
+        os.makedirs(frame_dir, exist_ok=True)
+        frames, fps = render_trajectory(state, deform_cfg, cams, scene.width,
+                                        scene.height, bg, rf=rf)
+        print(f"FPS: {fps}")
+        fps_all[out_name] = fps
+        cropped = []
+        for i, f in enumerate(frames):
+            Image.fromarray(f).save(
+                os.path.join(frame_dir, f"{i:05d}.png"))
+            cropped.append(f[crop:-crop, crop:-crop])
+        vid_dir = os.path.join(model_path, "vid_result")
+        os.makedirs(vid_dir, exist_ok=True)
+        imageio.mimwrite(os.path.join(vid_dir, out_name + ".mp4"), cropped,
+                         fps=30)
+    return fps_all

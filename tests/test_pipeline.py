@@ -1,0 +1,162 @@
+"""End-to-end pipeline integration test on a tiny synthetic scene:
+stage-2 training (coarse + fine) -> artifact save -> reload -> stage-3
+render, all on the CPU backend."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from mom_tpu import config as C
+from mom_tpu import pipeline
+from mom_tpu.data.scene import load_scene
+from mom_tpu.models import deformation as D
+
+
+def make_synthetic_scene_dir(tmp_path, W=48, H=32, n_video=4):
+    """Create a minimal demo/scene_X layout with a synthetic train_data.pth."""
+    import torch
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    scene_dir = tmp_path / "scene_0"
+    mom = scene_dir / "MOM"
+    (mom / "video").mkdir(parents=True)
+
+    n_pts = W * H // 16
+    pts = np.stack([rng.uniform(-1, 1, n_pts), rng.uniform(-1, 1, n_pts),
+                    rng.uniform(3, 6, n_pts)], 0).astype(np.float32)  # (3, N)
+    cols = rng.uniform(0, 1, (n_pts, 3)).astype(np.float32)
+
+    frames = []
+    for i in range(3):
+        th = (i - 1) * 0.1
+        c2w = np.eye(4)
+        c2w[:3, :3] = np.array([[np.cos(th), 0, np.sin(th)],
+                                [0, 1, 0],
+                                [-np.sin(th), 0, np.cos(th)]])
+        c2w[:3, 3] = [0.3 * th, 0.0, 0.1 * i]
+        img = Image.fromarray(
+            rng.randint(0, 255, (H, W, 3), dtype=np.uint8))
+        frames.append({"image": img, "transform_matrix": c2w.tolist(),
+                       "mask": None, "T2C_flow": [], "our_flow": []})
+
+    train_data = {
+        "camera_angle_x": 0.9, "camera_angle_y": 0.7, "W": W, "H": H,
+        "pcd_points": pts, "pcd_colors": cols,
+        "pcd_masks": np.ones((n_pts, 3), np.float32),
+        "frames": frames,
+    }
+    torch.save(train_data, mom / "train_data.pth")
+    torch.save(torch.tensor(np.zeros((3, n_pts), np.float32)),
+               mom / "scene_flow.pth")
+    for i in range(n_video):
+        Image.fromarray(rng.randint(0, 255, (H, W, 3), dtype=np.uint8)).save(
+            mom / "video" / f"{i:06d}.png")
+    return scene_dir
+
+
+def test_scene_loader(tmp_path):
+    scene_dir = make_synthetic_scene_dir(tmp_path)
+    scene = load_scene(str(scene_dir / "MOM" / "train_data.pth"))
+    assert len(scene.train_cams) == 3
+    assert len(scene.train2_cams) == 4 + 3    # video frames + static views
+    assert set(scene.video_cams) == {"up-down", "side", "zoom-in", "circle"}
+    assert all(len(v) == 60 for v in scene.video_cams.values())
+    assert scene.point_cloud.points.shape[1] == 3
+    # fine-stage times: video frames span [0, 1], statics at 0
+    times = [c.time for c in scene.train2_cams[:4]]
+    assert times[0] == 0.0 and abs(times[-1] - 1.0) < 1e-6
+    assert all(c.time == 0.0 for c in scene.train2_cams[4:])
+    assert all(c.frame_num == 0 for c in scene.train2_cams[4:])
+    assert scene.cameras_extent > 0
+
+
+def test_deformation_state_roundtrip():
+    from mom_tpu.data.checkpoints import (deformation_to_torch_state,
+                                          deformation_from_torch_state)
+    hidden = C.ModelHiddenParams()
+    hidden.multires = [1, 2]
+    hidden.defor_depth = 0
+    cfg = pipeline.deform_config_from_hidden(hidden)
+    params = D.init_deformation(jax.random.PRNGKey(3), cfg)
+    sd = deformation_to_torch_state(params, cfg)
+    assert "deformation_net.feature_out.0.weight" in sd
+    assert "deformation_net.pos_deform.1.weight" in sd
+    assert "deformation_net.grid.grids.0.0" in sd
+    assert "deformation_net.grid.grids.1.5" in sd
+    back = deformation_from_torch_state(sd, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_full_training_and_render(tmp_path):
+    scene_dir = make_synthetic_scene_dir(tmp_path)
+    opt = C.OptimizationParams()
+    opt.coarse_iterations = 8
+    opt.iterations = 12
+    opt.densify_from_iter = 2
+    opt.densification_interval = 5
+    opt.pruning_from_iter = 2
+    opt.pruning_interval = 7
+    opt.opacity_reset_interval = 10**9
+    opt.max_gaussians = 10_000
+    opt.min_gaussians_for_prune = 1
+    opt.densify_until_iter = 100
+    hidden = C.ModelHiddenParams()
+    hidden.multires = [1]
+    hidden.defor_depth = 0
+    hidden.kplanes_config = {
+        "grid_dimensions": 2, "input_coordinate_dim": 4,
+        "output_coordinate_dim": 8, "resolution": [8, 8, 8, 4]}
+
+    scene = load_scene(str(scene_dir / "MOM" / "train_data.pth"))
+    state, deform_cfg, capacity = pipeline.build_initial_state(
+        scene, hidden, opt, flow_scale=2.0)
+
+    state, hist = pipeline.scene_reconstruction(
+        state, deform_cfg, scene, opt, hidden, None, "coarse",
+        opt.coarse_iterations, str(scene_dir), backend="reference",
+        log_every=4, progress=False)
+    state, hist = pipeline.scene_reconstruction(
+        state, deform_cfg, scene, opt, hidden, None, "fine",
+        opt.iterations, str(scene_dir),
+        save_iterations={opt.iterations}, backend="reference",
+        log_every=4, progress=False)
+    assert np.isfinite(hist[-1]["loss"])
+
+    pc_dir = scene_dir / "point_cloud" / f"iteration_{opt.iterations}"
+    for fname in ["point_cloud.ply", "deformation.pth",
+                  "deformation_table.pth", "deformation_accum.pth",
+                  "scene_flow.pth"]:
+        assert (pc_dir / fname).exists(), fname
+
+    # reload and render one trajectory (subset for speed)
+    from mom_tpu.data import checkpoints as ckpt
+    from mom_tpu.data.ply import read_ply_vertices
+    from mom_tpu.train import optim
+    from mom_tpu.train.loop import TrainState, _params_by_group
+    n_pts = len(read_ply_vertices(str(pc_dir / "point_cloud.ply")))
+    assert n_pts == int(state.gauss.num_alive)
+    template = D.init_deformation(jax.random.PRNGKey(0), deform_cfg)
+    cap2 = ((n_pts + 127) // 128) * 128
+    gauss2, deform2 = ckpt.load_point_cloud_dir(str(pc_dir), cap2, template)
+    state2 = TrainState(gauss=gauss2, deform=deform2,
+                        adam=optim.init_adam(
+                            _params_by_group(gauss2.params, deform2)),
+                        rng=jax.random.PRNGKey(0))
+
+    cams = scene.video_cams["zoom-in"][:3]
+    frames, fps = pipeline.render_trajectory(
+        state2, deform_cfg, cams, scene.width, scene.height, (0, 0, 0),
+        backend="reference")
+    assert len(frames) == 3
+    assert frames[0].shape == (scene.height, scene.width, 3)
+    assert fps > 0
+
+    # deformed render must match the pre-reload model's render
+    frames_orig, _ = pipeline.render_trajectory(
+        state, deform_cfg, cams, scene.width, scene.height, (0, 0, 0),
+        backend="reference")
+    np.testing.assert_allclose(frames[0].astype(int),
+                               frames_orig[0].astype(int), atol=1)

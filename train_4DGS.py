@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Stage-2 CLI: two-stage 4D Gaussian-Splatting optimization.
+
+Flag-compatible with the reference train_4DGS.py (reference
+train_4DGS.py:411-455): reads ``<input_dir>/MOM/train_data.pth`` (+
+scene_flow.pth and MOM/video/), writes cfg_args, point_cloud/iteration_N/
+artifacts, training videos and checkpoints under <input_dir>.
+"""
+
+import os
+import random
+import sys
+from argparse import ArgumentParser, Namespace
+
+import numpy as np
+
+
+def setup_seed(seed):
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="Training script parameters")
+    setup_seed(6666)
+
+    from mom_tpu import config as C
+    C.add_group_args(parser, C.ModelParams, "Loading Parameters")
+    C.add_group_args(parser, C.OptimizationParams, "Optimization Parameters")
+    C.add_group_args(parser, C.PipelineParams, "Pipeline Parameters")
+    C.add_group_args(parser, C.ModelHiddenParams, "ModelHiddenParams")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true", default=False)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[3000, 7000, 14000])
+    parser.add_argument("--video_iterations", nargs="+", type=int,
+                        default=[14000, 20000, 25000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[14000, 20000, 25000, 30_000, 35000, 40000,
+                                 50000])
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--expname", type=str, default="dnerf/hellwarrior")
+    parser.add_argument("--configs", type=str,
+                        default="./arguments/dnerf/hellwarrior.py")
+    parser.add_argument("--input_dir", type=str, required=True,
+                        help="input folder that contains src images")
+    parser.add_argument("--flow_scale", type=float, default=2,
+                        help="flow scale difference to Gaussians")
+    parser.add_argument("--viewcrafter", action="store_true")
+    parser.add_argument("--backend", type=str, default="tiled",
+                        choices=["tiled", "reference"])
+    parser.add_argument("--trajectory_dir", type=str,
+                        default="test_trajectory")
+
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+    args.save_iterations.append(args.iterations)
+    if args.configs and os.path.exists(args.configs):
+        cfg = C.load_config_file(args.configs)
+        args = C.merge_hparams(args, cfg)
+
+    model_cfg = C.extract_group(args, C.ModelParams)
+    opt_cfg = C.extract_group(args, C.OptimizationParams)
+    hidden_cfg = C.extract_group(args, C.ModelHiddenParams)
+
+    mom_dir = os.path.join(args.input_dir, "MOM")
+    train_data_path = os.path.join(mom_dir, "train_data.pth")
+    gaussian_path = args.input_dir
+    print("Optimizing " + gaussian_path)
+
+    from mom_tpu.config import save_cfg_args
+    save_cfg_args(gaussian_path, Namespace(**vars(args)))
+
+    from mom_tpu.data.scene import load_scene
+    from mom_tpu import pipeline
+    from mom_tpu.utils.timer import Timer
+
+    scene = load_scene(train_data_path,
+                       white_background=model_cfg.white_background,
+                       traj_dir=args.trajectory_dir)
+    state, deform_cfg, capacity = pipeline.build_initial_state(
+        scene, hidden_cfg, opt_cfg, args.flow_scale)
+
+    bg = (1, 1, 1) if model_cfg.white_background else (0, 0, 0)
+    timer = Timer()
+    timer.start()
+
+    state, hist_c = pipeline.scene_reconstruction(
+        state, deform_cfg, scene, opt_cfg, hidden_cfg, None, "coarse",
+        opt_cfg.coarse_iterations, gaussian_path,
+        save_iterations=set(args.save_iterations),
+        video_iterations=set(args.video_iterations),
+        checkpoint_iterations=set(args.checkpoint_iterations),
+        bg=bg, timer=timer, backend=args.backend)
+    state, hist_f = pipeline.scene_reconstruction(
+        state, deform_cfg, scene, opt_cfg, hidden_cfg, None, "fine",
+        opt_cfg.iterations, gaussian_path,
+        save_iterations=set(args.save_iterations),
+        video_iterations=set(args.video_iterations),
+        checkpoint_iterations=set(args.checkpoint_iterations),
+        bg=bg, timer=timer, backend=args.backend)
+
+    print(f"\nTraining complete. ({timer.get_elapsed_time():.1f}s train time)")
+    return state
+
+
+if __name__ == "__main__":
+    main()
