@@ -228,7 +228,7 @@ def render_trajectory(state: TrainState, deform_cfg, cams: list[Camera],
 def render_training_videos(model_path, iteration, state, deform_cfg, scene,
                            stage, bg, backend, key_cap, crop=32):
     """render_video during training (train_4DGS.py:335-352)."""
-    import imageio
+    from .utils.videoio import write_mp4
     outdir = os.path.join(model_path, "video", f"itrs_{iteration}")
     os.makedirs(outdir, exist_ok=True)
     rf = make_render_jit(state, deform_cfg, scene.width, scene.height, bg,
@@ -239,8 +239,8 @@ def render_training_videos(model_path, iteration, state, deform_cfg, scene,
         frames, _ = render_trajectory(state, deform_cfg, cams, scene.width,
                                       scene.height, bg, rf=rf)
         frames = [f[crop:-crop, crop:-crop] for f in frames]
-        imageio.mimwrite(os.path.join(outdir, name_map[name] + ".mp4"),
-                         frames, fps=30, quality=8)
+        write_mp4(os.path.join(outdir, name_map[name] + ".mp4"), frames,
+                  fps=30, quality=8)
 
 
 def render_sets(model_path: str, state: TrainState, deform_cfg,
@@ -248,8 +248,8 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
                 key_cap=None, crop=32):
     """Stage-3 rendering (render_4DGS.py:50-90): 4 trajectories -> PNG frames
     + mp4s, printing FPS."""
-    import imageio
     from PIL import Image
+    from .utils.videoio import write_mp4
     name_map = {"up-down": "up_down", "side": "side", "zoom-in": "zoom",
                 "circle": "circle"}
     rf = make_render_jit(state, deform_cfg, scene.width, scene.height, bg,
@@ -270,6 +270,5 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
             cropped.append(f[crop:-crop, crop:-crop])
         vid_dir = os.path.join(model_path, "vid_result")
         os.makedirs(vid_dir, exist_ok=True)
-        imageio.mimwrite(os.path.join(vid_dir, out_name + ".mp4"), cropped,
-                         fps=30)
+        write_mp4(os.path.join(vid_dir, out_name + ".mp4"), cropped, fps=30)
     return fps_all
