@@ -53,7 +53,11 @@ R_MX, R_MY, R_CA, R_CB, R_CC, R_OP, R_R, R_G, R_B, R_D = range(10)
 
 
 def _interpret() -> bool:
-    return os.environ.get("MOM_TPU_INTERPRET", "0") == "1"
+    env = os.environ.get("MOM_TPU_INTERPRET")
+    if env is not None:
+        return env == "1"
+    # no TPU -> run the kernels in the pallas interpreter automatically
+    return jax.default_backend() != "tpu"
 
 
 def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
