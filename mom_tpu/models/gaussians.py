@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.knn import mean_3nn_sq_dist
+from ..ops.knn import mean_3nn_sq_dist, mean_3nn_sq_dist_morton
 from ..utils.sh import rgb2sh
 from ..utils.general import inverse_sigmoid_np
 
@@ -94,7 +94,13 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray,
     assert n <= capacity, (n, capacity)
     print(f"Number of points at initialisation : {n}")
 
-    dist2 = np.asarray(mean_3nn_sq_dist(jnp.asarray(points, jnp.float32)))
+    if n > 200_000:
+        # Morton-window approximation for big clouds — the reference's
+        # simple-knn is itself a Morton box search (simple_knn.cu:147-183)
+        dist2 = np.asarray(mean_3nn_sq_dist_morton(
+            jnp.asarray(points, jnp.float32)))
+    else:
+        dist2 = np.asarray(mean_3nn_sq_dist(jnp.asarray(points, jnp.float32)))
     dist2 = np.clip(dist2, 1e-7, None)
     scales = np.repeat(np.log(np.sqrt(dist2))[:, None], 3, axis=1)
 
