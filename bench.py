@@ -93,7 +93,7 @@ def main():
     from mom_tpu.ops.rasterize import default_key_cap
 
     state, deform_cfg, hidden, opt, packed, gts, W, H = build_problem()
-    key_cap = default_key_cap(state.gauss.capacity, 8.0)
+    key_cap = default_key_cap(state.gauss.capacity, 4.0)
 
     step_tiled = make_train_step(opt, hidden, deform_cfg, W, H, "fine",
                                  spatial_lr_scale=3.0, bg=(0, 0, 0),

@@ -48,10 +48,14 @@ def save_gaussian_ply(path: str, xyz: np.ndarray, features_dc: np.ndarray,
               f"element vertex {n}"]
     header += [f"property float {name}" for name in names]
     header += ["end_header"]
-    # contiguous float32 rows are already the exact binary vertex layout
-    with open(path, "wb") as f:
-        f.write(("\n".join(header) + "\n").encode("ascii"))
-        f.write(np.ascontiguousarray(attrs).tobytes())
+    header_str = "\n".join(header) + "\n"
+    # contiguous float32 rows are already the exact binary vertex layout;
+    # prefer the buffered native writer for the multi-hundred-MB artifacts
+    from .. import native
+    if not native.ply_write(path, header_str, attrs):
+        with open(path, "wb") as f:
+            f.write(header_str.encode("ascii"))
+            f.write(np.ascontiguousarray(attrs).tobytes())
 
 
 _PLY_TYPES = {

@@ -47,8 +47,9 @@ def pick_capacity(n_init: int, opt_cfg: C.OptimizationParams) -> int:
 
 
 def default_key_cap_for(n: int, width: int, height: int) -> int:
-    # ~8 tiles per gaussian average headroom; overflow is monitored
-    cap = n * 8
+    # ~4 tiles per gaussian average headroom (binning cost scales with the
+    # cap); overflow is monitored and reported every log interval
+    cap = n * 4
     return ((cap + 127) // 128) * 128
 
 
@@ -263,11 +264,15 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
                                         scene.height, bg, rf=rf)
         print(f"FPS: {fps}")
         fps_all[out_name] = fps
-        cropped = []
-        for i, f in enumerate(frames):
-            Image.fromarray(f).save(
-                os.path.join(frame_dir, f"{i:05d}.png"))
-            cropped.append(f[crop:-crop, crop:-crop])
+        # threaded native PNG writer (replaces the reference's python
+        # ThreadPool, render_4DGS.py:32-47); PIL fallback
+        from . import native
+        paths = [os.path.join(frame_dir, f"{i:05d}.png")
+                 for i in range(len(frames))]
+        if not native.png_write_batch(paths, np.stack(frames)):
+            for pth, f in zip(paths, frames):
+                Image.fromarray(f).save(pth)
+        cropped = [f[crop:-crop, crop:-crop] for f in frames]
         vid_dir = os.path.join(model_path, "vid_result")
         os.makedirs(vid_dir, exist_ok=True)
         write_mp4(os.path.join(vid_dir, out_name + ".mp4"), cropped, fps=30)
