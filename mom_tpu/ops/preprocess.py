@@ -57,12 +57,32 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
                   scale_modifier: float = 1.0) -> jnp.ndarray:
     """(P,3) activated scales + (P,4) quats -> (P,6) upper-triangular
-    [s00,s01,s02,s11,s12,s22] of Sigma = R diag(s^2) R^T."""
-    R = quat_to_rotmat(rotations)
-    s2 = (scale_modifier * scales) ** 2
-    Sigma = jnp.einsum("...ij,...j,...kj->...ik", R, s2, R)
-    return jnp.stack([Sigma[..., 0, 0], Sigma[..., 0, 1], Sigma[..., 0, 2],
-                      Sigma[..., 1, 1], Sigma[..., 1, 2], Sigma[..., 2, 2]], -1)
+    [s00,s01,s02,s11,s12,s22] of Sigma = R diag(s^2) R^T.
+
+    Structure-of-arrays scalar math — per-point 3x3 einsums lower to slow
+    batched tiny dots at millions of points."""
+    r, x, y, z = (rotations[..., 0], rotations[..., 1], rotations[..., 2],
+                  rotations[..., 3])
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0 = (scale_modifier * scales[..., 0]) ** 2
+    s1 = (scale_modifier * scales[..., 1]) ** 2
+    s2 = (scale_modifier * scales[..., 2]) ** 2
+    # Sigma_ab = sum_k r_ak r_bk s_k
+    s00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    s01 = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    s02 = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    s11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    s12 = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    s22 = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return jnp.stack([s00, s01, s02, s11, s12, s22], -1)
 
 
 def compute_cov2d(means3d, cov3d, viewmatrix, tanfovx, tanfovy,
@@ -72,7 +92,10 @@ def compute_cov2d(means3d, cov3d, viewmatrix, tanfovx, tanfovy,
     t = means3d @ viewmatrix[:3, :3].T + viewmatrix[:3, 3]
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
-    tz = t[..., 2]
+    # culled points can sit at tz == 0 (e.g. dead fixed-capacity slots at the
+    # camera origin); guard the divisions so neither forward values nor
+    # backward 0*inf products go non-finite.  Valid points have tz > 0.2.
+    tz = jnp.where(t[..., 2] > NEAR_CULL_Z, t[..., 2], 1.0)
     tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
     ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
 
@@ -83,23 +106,22 @@ def compute_cov2d(means3d, cov3d, viewmatrix, tanfovx, tanfovy,
     j12 = -(focal_y * ty) / (tz * tz)
 
     W = viewmatrix[:3, :3]           # world->view rotation
-    # M = J @ W, rows m0, m1: (P, 3)
-    m0 = j00[..., None] * W[0] + j02[..., None] * W[2]
-    m1 = j11[..., None] * W[1] + j12[..., None] * W[2]
+    # M = J @ W, rows m0, m1, per-component (P,) arrays (SoA)
+    m0 = [j00 * W[0, c] + j02 * W[2, c] for c in range(3)]
+    m1 = [j11 * W[1, c] + j12 * W[2, c] for c in range(3)]
 
-    # Sigma (P, 3, 3) from packed 6
     s00, s01, s02, s11, s12, s22 = [cov3d[..., i] for i in range(6)]
-    Sigma = jnp.stack([
-        jnp.stack([s00, s01, s02], -1),
-        jnp.stack([s01, s11, s12], -1),
-        jnp.stack([s02, s12, s22], -1),
-    ], -2)
 
-    Sm0 = jnp.einsum("...ij,...j->...i", Sigma, m0)
-    c00 = jnp.einsum("...i,...i->...", m0, Sm0) + LOWPASS
-    c01 = jnp.einsum("...i,...i->...", m1, Sm0)
-    Sm1 = jnp.einsum("...ij,...j->...i", Sigma, m1)
-    c11 = jnp.einsum("...i,...i->...", m1, Sm1) + LOWPASS
+    def sigma_dot(v):   # Sigma @ v, components
+        return [s00 * v[0] + s01 * v[1] + s02 * v[2],
+                s01 * v[0] + s11 * v[1] + s12 * v[2],
+                s02 * v[0] + s12 * v[1] + s22 * v[2]]
+
+    sm0 = sigma_dot(m0)
+    c00 = m0[0] * sm0[0] + m0[1] * sm0[1] + m0[2] * sm0[2] + LOWPASS
+    c01 = m1[0] * sm0[0] + m1[1] * sm0[1] + m1[2] * sm0[2]
+    sm1 = sigma_dot(m1)
+    c11 = m1[0] * sm1[0] + m1[1] * sm1[1] + m1[2] * sm1[2] + LOWPASS
     return jnp.stack([c00, c01, c11], -1)
 
 
@@ -141,7 +163,9 @@ def preprocess(means3d: jnp.ndarray,
 
     p_hom = means3d @ projmatrix[:3, :3].T + projmatrix[:3, 3]
     w = means3d @ projmatrix[3, :3] + projmatrix[3, 3]
-    p_w = 1.0 / (w + 1e-7)
+    denom = w + 1e-7
+    denom = jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0)   # culled-point guard
+    p_w = 1.0 / denom
     p_proj = p_hom * p_w[..., None]
 
     if cov3d_precomp is None:
@@ -169,7 +193,10 @@ def preprocess(means3d: jnp.ndarray,
 
     if colors_precomp is None:
         dirs = means3d - campos
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        # norm's gradient is NaN at exactly 0 (dead slots sitting on the
+        # camera); the epsilon inside the sqrt keeps both directions finite
+        dirs = dirs * jax.lax.rsqrt(
+            jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20)
         colors = jnp.maximum(
             sh_utils.eval_sh(active_sh_degree, shs, dirs) + 0.5, 0.0)
     else:

@@ -77,6 +77,11 @@ class Binning(NamedTuple):
     tile_starts: jnp.ndarray   # (num_tiles,) int32 — CHUNK-aligned
     tile_ends: jnp.ndarray     # (num_tiles,) int32 — starts + real counts
     slot_valid: jnp.ndarray    # (padded_cap,) bool — real (non-pad) instance
+    slot_origin: jnp.ndarray   # (padded_cap,) int32 pre-sort slot (key_cap
+                               #   sentinel for pads) — per-gaussian slots
+                               #   are CONTIGUOUS in this space
+    g_offsets: jnp.ndarray     # (P,) int32 pre-sort slot range start
+    g_areas: jnp.ndarray       # (P,) int32 pre-sort slot range size
     num_keys: jnp.ndarray      # () int32 — real instances before capping
     overflow: jnp.ndarray      # () int32 — instances dropped by key_cap
 
@@ -86,31 +91,41 @@ def padded_cap(key_cap: int, width: int, height: int) -> int:
     return key_cap + geom.grid_x * geom.grid_y * CHUNK
 
 
-def _segment_expand(values: list, offsets: jnp.ndarray, sizes: jnp.ndarray,
-                    cap: int, fills: list):
-    """Expand per-segment values to per-slot arrays of length ``cap``:
-    segment i owns slots [offsets[i], offsets[i]+sizes[i]) (offsets
-    ascending).  Implemented as one scatter per array + log-depth
-    fill-forward associative scans — the searchsorted formulation is
-    latency-bound on TPU (binary-search gather chains), this one is ~7x
-    faster."""
-    has = sizes > 0
-    tgt = jnp.where(has, offsets, cap)                 # empty segments drop
+def _segment_ids(offsets: jnp.ndarray, sizes: jnp.ndarray,
+                 cap: int) -> jnp.ndarray:
+    """Per-slot owning-segment index for ascending segment ranges
+    [offsets[i], offsets[i]+sizes[i]): scatter each segment's index at its
+    range start, fill-forward with the cummax primitive (single HLO op — an
+    unrolled associative_scan at millions of slots blows up compile)."""
+    n_seg = offsets.shape[0]
+    tgt = jnp.where(sizes > 0, offsets, cap)           # empty segments drop
+    seg0 = jnp.full(cap, -1, jnp.int32).at[tgt].set(
+        jnp.arange(n_seg, dtype=jnp.int32), mode="drop")
+    return jnp.maximum(jax.lax.cummax(seg0), 0)
 
-    def scat(vals, fill):
-        return jnp.full(cap, fill, vals.dtype).at[tgt].set(vals, mode="drop")
 
-    mark0 = scat(jnp.ones_like(offsets, dtype=jnp.int32), 0)
-
-    def fill_op(a, b):
-        av, am = a
-        bv, bm = b
-        return jax.tree.map(
-            lambda x, y: jnp.where(bm > 0, y, x), av, bv), jnp.maximum(am, bm)
-
-    scattered = tuple(scat(v, f) for v, f in zip(values, fills))
-    filled, _ = jax.lax.associative_scan(fill_op, (scattered, mark0))
-    return filled
+def _gather_packed_rows(cols: list, seg: jnp.ndarray) -> list:
+    """Gather several per-segment columns at the slot->segment map with ONE
+    row gather: scalar gathers at millions of indices are HBM-latency bound
+    on TPU (~35x slower than the same data as one packed row gather).
+    Floats ride along bitcast to int32."""
+    packed = []
+    isfloat = []
+    for c in cols:
+        if jnp.issubdtype(c.dtype, jnp.floating):
+            packed.append(jax.lax.bitcast_convert_type(c, jnp.int32))
+            isfloat.append(True)
+        else:
+            packed.append(c.astype(jnp.int32))
+            isfloat.append(False)
+    table = jnp.stack(packed, axis=1)                  # (n_seg, k)
+    rows = table[seg]                                  # (cap, k)
+    out = []
+    for i, f in enumerate(isfloat):
+        col = rows[:, i]
+        out.append(jax.lax.bitcast_convert_type(col, jnp.float32)
+                   if f else col)
+    return out
 
 
 def bin_gaussians(pre: Preprocessed, width: int, height: int,
@@ -139,11 +154,10 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     total = offsets_inc[-1]
     offsets = offsets_inc - areas                      # exclusive
 
-    (gid_f, off_f, rw_f, mnx_f, mny_f, dep_f) = _segment_expand(
-        [jnp.arange(P, dtype=jnp.int32), offsets, jnp.maximum(rw, 1),
-         rmn[:, 0], rmn[:, 1], pre.depths],
-        offsets, areas, key_cap,
-        fills=[0, 0, 1, 0, 0, jnp.float32(0.0)])
+    gid_f = _segment_ids(offsets, areas, key_cap)
+    (off_f, rw_f, mnx_f, mny_f, dep_f) = _gather_packed_rows(
+        [offsets, jnp.maximum(rw, 1), rmn[:, 0], rmn[:, 1], pre.depths],
+        gid_f)
 
     slots = jnp.arange(key_cap, dtype=jnp.int32)
     in_range = slots < total
@@ -153,8 +167,8 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     tile_id = jnp.where(in_range, ty * grid_x + tx, num_tiles).astype(jnp.int32)
     depth = jnp.where(in_range, dep_f, jnp.float32(3.4e38))
 
-    tile_sorted, _, gid_sorted = jax.lax.sort(
-        (tile_id, depth, gid_f), num_keys=2)
+    tile_sorted, _, gid_sorted, slot_of_sorted = jax.lax.sort(
+        (tile_id, depth, gid_f, slots), num_keys=2)
 
     # per-tile counts via one-sided diff of first-occurrence positions:
     # searchsorted over 1024 tile ids is cheap (the array is tiny)
@@ -168,34 +182,77 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     pstarts = pstarts_inc - padded
 
     pcap = padded_cap(key_cap, width, height)
-    (sr_f, ps_f, cnt_f) = _segment_expand(
-        [starts_raw, pstarts, counts], pstarts, padded, pcap,
-        fills=[0, 0, 0])
+    u_f = _segment_ids(pstarts, padded, pcap)
+    # the per-tile tables are tiny (num_tiles entries) — scalar gathers fine
+    sr_f = starts_raw[u_f]
+    ps_f = pstarts[u_f]
+    cnt_f = counts[u_f]
     s = jnp.arange(pcap, dtype=jnp.int32)
     l = s - ps_f
     slot_valid = (l < cnt_f) & (s < pstarts_inc[-1])
     src = jnp.where(slot_valid, sr_f + l, 0)
-    gid_padded = gid_sorted[src]
+    gid_padded, origin = _gather_packed_rows(
+        [gid_sorted, slot_of_sorted], src)
+    slot_origin = jnp.where(slot_valid, origin, key_cap)
 
     return Binning(gid_sorted=gid_padded, tile_starts=pstarts,
                    tile_ends=pstarts + counts, slot_valid=slot_valid,
+                   slot_origin=slot_origin, g_offsets=offsets, g_areas=areas,
                    num_keys=jnp.minimum(total, key_cap),
                    overflow=jnp.maximum(total - key_cap, 0))
 
 
-def _pack_features(pre: Preprocessed, gid_sorted: jnp.ndarray) -> jnp.ndarray:
-    """Differentiable gather into the kernel's [NFEAT, padded_cap] layout.
-    The autodiff transpose of this gather is the deterministic per-gaussian
-    gradient reduction."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _expand_rows(key_cap, table, gid_padded, slot_origin, g_offsets, g_areas):
+    return table[gid_padded].T                             # (NFEAT, padded_cap)
+
+
+def _expand_rows_fwd(key_cap, table, gid_padded, slot_origin, g_offsets,
+                     g_areas):
+    return table[gid_padded].T, (slot_origin, g_offsets, g_areas)
+
+
+def _expand_rows_bwd(key_cap, res, gfeat):
+    """Per-gaussian gradient reduction WITHOUT a giant scatter-add (241ms at
+    3M instances): un-permute instance grads to the pre-sort slot space —
+    where each gaussian's instances are contiguous — with one int scatter +
+    one row gather, then reduce segments with a cumsum and two boundary
+    gathers (all throughput-bound primitives)."""
+    slot_origin, g_offsets, g_areas = res
+    pcap = slot_origin.shape[0]
+    g_inst = gfeat.T                                        # (pcap, NFEAT)
+    # forward map: pre-sort slot -> padded slot (unique for valid slots;
+    # pad slots carry the key_cap sentinel and are dropped)
+    pad_of_pre = jnp.full(key_cap, pcap, jnp.int32).at[slot_origin].set(
+        jnp.arange(pcap, dtype=jnp.int32), mode="drop")
+    g_pre = jnp.take(g_inst, pad_of_pre, axis=0, mode="fill",
+                     fill_value=0.0)                        # (key_cap, NFEAT)
+    csum = jnp.concatenate([jnp.zeros((1, g_pre.shape[1]), g_pre.dtype),
+                            jnp.cumsum(g_pre, axis=0)], axis=0)
+    hi = jnp.take(csum, g_offsets + g_areas, axis=0)
+    lo = jnp.take(csum, g_offsets, axis=0)
+    d_table = hi - lo                                       # (P, NFEAT)
+    return d_table, None, None, None, None
+
+
+_expand_rows.defvjp(_expand_rows_fwd, _expand_rows_bwd)
+
+
+def _pack_features(pre: Preprocessed, binning: Binning,
+                   key_cap: int) -> jnp.ndarray:
+    """Differentiable gather into the kernel's [NFEAT, padded_cap] layout
+    with a segment-sum backward (see _expand_rows_bwd)."""
     zeros = jnp.zeros_like(pre.depths)
-    rows = jnp.stack([
+    table = jnp.stack([
         pre.means2d[:, 0], pre.means2d[:, 1],
         pre.conic[:, 0], pre.conic[:, 1], pre.conic[:, 2],
         pre.opacities,
         pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
         pre.depths,
-    ] + [zeros] * (NFEAT - 10), axis=0)                  # (NFEAT, P)
-    return rows[:, gid_sorted]                            # (NFEAT, padded_cap)
+    ] + [zeros] * (NFEAT - 10), axis=1)                   # (P, NFEAT)
+    return _expand_rows(key_cap, table, binning.gid_sorted,
+                        binning.slot_origin, binning.g_offsets,
+                        binning.g_areas)
 
 
 class _TileGeom(NamedTuple):
@@ -540,7 +597,7 @@ def rasterize_tiled(means3d, scales, rotations, opacities, shs,
 
     binning = bin_gaussians(jax.tree.map(jax.lax.stop_gradient, pre),
                             width, height, key_cap)
-    feat = _pack_features(pre, binning.gid_sorted)
+    feat = _pack_features(pre, binning, key_cap)
     acc_t, logt_t = _composite(feat, binning.tile_starts, binning.tile_ends,
                                binning.slot_valid, width, height)
     geom = _geom(width, height)

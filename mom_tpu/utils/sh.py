@@ -59,7 +59,13 @@ def eval_sh(active_degree, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     sh   : (..., K, C) coefficients, K <= 16 (reference layout: band-major)
     dirs : (..., 3) unit directions
     Returns (..., C).  Bands above ``active_degree`` contribute zero.
-    """
+
+    Unrolled fused multiply-adds instead of an einsum: XLA lowers batched
+    (1, K) x (K, C) per-point dots terribly at millions of points."""
     K = sh.shape[-2]
-    basis = sh_basis(dirs)[..., :K] * band_mask(active_degree, K)
-    return jnp.einsum("...k,...kc->...c", basis, sh)
+    basis = sh_basis(dirs)                      # (..., 16)
+    mask = band_mask(active_degree, K)
+    out = 0.0
+    for k in range(K):
+        out = out + (mask[k] * basis[..., k])[..., None] * sh[..., k, :]
+    return out
