@@ -287,7 +287,9 @@ def image_to_tiles(x: jnp.ndarray, geom: _TileGeom) -> jnp.ndarray:
 
 
 def _forward_kernel(geom: _TileGeom):
-    """Build the forward compositing kernel for a static tile geometry."""
+    """Build the forward compositing kernel for a static tile geometry.
+    Input chunks are double-buffered: chunk k+1's HBM->VMEM DMA is in flight
+    while chunk k computes."""
     gx = geom.grid_x
 
     def kernel(starts_ref, ends_ref, feat_hbm, acc_out, logt_out,
@@ -296,6 +298,7 @@ def _forward_kernel(geom: _TileGeom):
         start = starts_ref[t]
         end = ends_ref[t]
         n = end - start
+        nchunks = (n + CHUNK - 1) // CHUNK
 
         ty = t // gx
         tx = t % gx
@@ -308,14 +311,26 @@ def _forward_kernel(geom: _TileGeom):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
+        def dma(k):
+            slot = jax.lax.rem(k, 2)
+            off = pl.multiple_of(start + k * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(off, CHUNK)], feat_vmem.at[slot],
+                sem.at[slot])
+
+        @pl.when(nchunks > 0)
+        def _():
+            dma(jnp.int32(0)).start()
+
         def body(state):
             k, _ = state
-            off = pl.multiple_of(start + k * CHUNK, CHUNK)
-            copy = pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(off, CHUNK)], feat_vmem, sem)
-            copy.start()
-            copy.wait()
-            fv = feat_vmem[...]                               # [NFEAT, CHUNK]
+
+            @pl.when(k + 1 < nchunks)
+            def _():
+                dma(k + 1).start()
+
+            dma(k).wait()
+            fv = feat_vmem[jax.lax.rem(k, 2)]                 # [NFEAT, CHUNK]
 
             dx = fv[R_MX:R_MX + 1, :] - px                    # [256, CHUNK]
             dy = fv[R_MY:R_MY + 1, :] - py
@@ -344,10 +359,14 @@ def _forward_kernel(geom: _TileGeom):
             done = jnp.max(logt_ref[...]) < LOG_T_EPS
             return k + 1, done
 
-        nchunks = (n + CHUNK - 1) // CHUNK
-        jax.lax.while_loop(
+        k_final, _ = jax.lax.while_loop(
             lambda s: jnp.logical_and(s[0] < nchunks, jnp.logical_not(s[1])),
             body, (jnp.int32(0), False))
+
+        # early exit leaves chunk k_final's prefetch in flight — drain it
+        @pl.when(k_final < nchunks)
+        def _():
+            dma(k_final).wait()
 
         acc_out[0] = acc_ref[...][:, R_R:R_D + 1]
         logt_out[0] = logt_ref[...]
@@ -375,6 +394,7 @@ def _backward_kernel(geom: _TileGeom):
         start = starts_ref[t]
         end = ends_ref[t]
         n = end - start
+        nchunks = (n + CHUNK - 1) // CHUNK
 
         ty = t // gx
         tx = t % gx
@@ -391,14 +411,33 @@ def _backward_kernel(geom: _TileGeom):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
+        def dma_in(k):
+            slot = jax.lax.rem(k, 2)
+            off = pl.multiple_of(start + k * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(off, CHUNK)], feat_vmem.at[slot],
+                sem.at[slot])
+
+        def dma_out(k):
+            slot = jax.lax.rem(k, 2)
+            off = pl.multiple_of(start + k * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                gfeat_vmem.at[slot], gfeat_out_hbm.at[:, pl.ds(off, CHUNK)],
+                osem.at[slot])
+
+        @pl.when(nchunks > 0)
+        def _():
+            dma_in(jnp.int32(0)).start()
+
         def body(state):
             k, _ = state
-            off = pl.multiple_of(start + k * CHUNK, CHUNK)
-            copy = pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(off, CHUNK)], feat_vmem, sem)
-            copy.start()
-            copy.wait()
-            fv = feat_vmem[...]
+
+            @pl.when(k + 1 < nchunks)
+            def _():
+                dma_in(k + 1).start()
+
+            dma_in(k).wait()
+            fv = feat_vmem[jax.lax.rem(k, 2)]
 
             dx = fv[R_MX:R_MX + 1, :] - px
             dy = fv[R_MY:R_MY + 1, :] - py
@@ -451,31 +490,46 @@ def _backward_kernel(geom: _TileGeom):
                 preferred_element_type=jnp.float32)            # [4, CHUNK]
 
             zeros6 = jnp.zeros((NFEAT - 10, CHUNK), jnp.float32)
-            gfeat_vmem[...] = jnp.concatenate(
+            out_slot = jax.lax.rem(k, 2)
+
+            # wait for the write that used this slot two chunks ago
+            @pl.when(k >= 2)
+            def _():
+                dma_out(k - 2).wait()
+
+            gfeat_vmem[out_slot] = jnp.concatenate(
                 [dmx, dmy, dca, dcb, dcc, dop, dfeat4, zeros6], axis=0)
-            ocopy = pltpu.make_async_copy(
-                gfeat_vmem, gfeat_out_hbm.at[:, pl.ds(off, CHUNK)], osem)
-            ocopy.start()
-            ocopy.wait()
+            dma_out(k).start()
 
             logt_ref[...] = logt_ref[...] + cum[:, -1:]
             pref_ref[...] = pref[:, -1:]
             done = jnp.max(logt_ref[...]) < LOG_T_EPS
             return k + 1, done
 
-        nchunks = (n + CHUNK - 1) // CHUNK
         k_final, _ = jax.lax.while_loop(
             lambda s: jnp.logical_and(s[0] < nchunks, jnp.logical_not(s[1])),
             body, (jnp.int32(0), False))
 
+        # drain: outstanding input prefetch on early exit, plus the last two
+        # output writes
+        @pl.when(k_final < nchunks)
+        def _():
+            dma_in(k_final).wait()
+
+        @pl.when(k_final >= 2)
+        def _():
+            dma_out(k_final - 2).wait()
+
+        @pl.when(k_final >= 1)
+        def _():
+            dma_out(k_final - 1).wait()
+
         # zero-fill instance grads for chunks skipped by the early exit so the
         # gather transpose never scatters garbage
         def zero_body(k):
-            gfeat_vmem[...] = jnp.zeros_like(gfeat_vmem)
-            off = pl.multiple_of(start + k * CHUNK, CHUNK)
-            ocopy = pltpu.make_async_copy(
-                gfeat_vmem,
-                gfeat_out_hbm.at[:, pl.ds(off, CHUNK)], osem)
+            slot = jax.lax.rem(k, 2)
+            gfeat_vmem[slot] = jnp.zeros((NFEAT, CHUNK), jnp.float32)
+            ocopy = dma_out(k)
             ocopy.start()
             ocopy.wait()
             return k + 1
@@ -502,10 +556,10 @@ def _composite_fwd_impl(feat, starts, ends, width, height):
             pl.BlockSpec((1, TILE * TILE, 1), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NFEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
             pltpu.VMEM((TILE * TILE, NFEAT), jnp.float32),
             pltpu.VMEM((TILE * TILE, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     acc, logt = pl.pallas_call(
@@ -543,12 +597,12 @@ def _composite_bwd(width, height, res, cts):
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((NFEAT, CHUNK), jnp.float32),
-            pltpu.VMEM((NFEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
             pltpu.VMEM((TILE * TILE, 1), jnp.float32),
             pltpu.VMEM((TILE * TILE, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     gfeat = pl.pallas_call(

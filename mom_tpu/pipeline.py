@@ -92,7 +92,8 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     gts = _gt_stack(cams)
     W, H = scene.width, scene.height
     if key_cap is None:
-        key_cap = default_key_cap_for(state.gauss.capacity, W, H)
+        # base the instance budget on live points, not buffer capacity
+        key_cap = default_key_cap_for(int(state.gauss.num_alive), W, H)
 
     step = make_train_step(opt_cfg, hidden, deform_cfg, W, H, stage,
                            spatial_lr_scale=scene.cameras_extent, bg=bg,
