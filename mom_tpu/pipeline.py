@@ -85,7 +85,8 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                          bg=(0, 0, 0), timer: Timer | None = None,
                          backend: str = "tiled", log_every: int = 100,
                          seed: int = 6666, key_cap: int | None = None,
-                         progress=True):
+                         progress=True, test_iterations=(), logger=None,
+                         render_process: bool = False, gui=None):
     """One training stage (train_4DGS.py:48-301)."""
     cams = stage_cameras(scene, stage)
     packed = pack_cameras(cams)
@@ -150,9 +151,25 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             if do_reset:
                 state = reset_opacity_op(state)
 
+        if gui is not None:
+            rf = make_render_jit(state, deform_cfg, W, H, bg, stage=stage,
+                                 backend=backend, key_cap=key_cap)
+
+            def _gui_render(cam, w, h, _rf=rf, _state=state):
+                camj = {k: jnp.asarray(v) for k, v in cam.items()}
+                return np.asarray(_rf(_state.gauss.params, _state.gauss.aux,
+                                      _state.deform, camj))
+            gui.poll(_gui_render, model_path)
+
         if iteration % log_every == 0 or iteration == final_iter:
             m = {k: float(v) for k, v in metrics.items()}
             history.append({"iter": iteration, **m})
+            if logger is not None:
+                from .train.report import training_report
+                training_report(logger, iteration, stage,
+                                {k: v for k, v in m.items()
+                                 if k in ("loss", "l1", "psnr")},
+                                num_points=int(m["points"]))
             if progress:
                 print(f"[{stage} {iteration}/{final_iter}] "
                       f"loss={m['loss']:.5f} psnr={m['psnr']:.2f} "
@@ -169,6 +186,47 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             elif iteration % 500 == 0 or last_good is None:
                 # host snapshot (device buffers get donated every step)
                 last_good = jax.device_get(state)
+
+        if iteration in test_iterations:
+            timer.pause()
+            from .train.report import evaluate, training_report
+            rf = make_render_jit(state, deform_cfg, W, H, bg, stage=stage,
+                                 backend=backend, key_cap=key_cap)
+            test_cams = scene.test_cams
+            test_packed = pack_cameras(test_cams)
+            test_gts = _gt_stack(test_cams)
+
+            def _eval_render(i):
+                camj = {k: jnp.asarray(v[i]) for k, v in test_packed.items()}
+                return rf(state.gauss.params, state.gauss.aux, state.deform,
+                          camj)
+            result = evaluate(_eval_render, test_cams, test_gts, every=3)
+            if logger is not None:
+                training_report(logger, iteration, stage, {},
+                                eval_result=result)
+            else:
+                print(f"\n[ITER {iteration}] Evaluating test: "
+                      f"L1 {result['l1']:.5f} PSNR {result['psnr']:.2f} "
+                      f"SSIM {result['ssim']:.4f}")
+            timer.start()
+
+        if render_process and (
+                (iteration < 1000 and iteration % 10 == 9)
+                or (iteration < 3000 and iteration % 50 == 49)
+                or (iteration < 60000 and iteration % 100 == 99)):
+            from .utils.snapshots import render_training_image as snap
+            from .render import render as render_full
+            vi_s = iteration % len(cams)
+            camj = {k: jnp.asarray(v[vi_s]) for k, v in packed.items()}
+            out = render_full(state.gauss.params, state.gauss.aux,
+                              state.deform, deform_cfg, camj, W, H,
+                              jnp.asarray(bg, jnp.float32), stage=stage,
+                              active_sh_degree=sh_degree, key_cap=key_cap,
+                              backend=backend)
+            snap(model_path, stage, iteration, timer.get_elapsed_time(),
+                 gts[vi_s].astype(np.float32) / 255.0,
+                 np.asarray(jnp.clip(out.color, 0, 1)),
+                 np.asarray(out.depth), tag="train")
 
         if iteration in save_iterations:
             timer.pause()

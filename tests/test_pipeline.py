@@ -160,3 +160,40 @@ def test_full_training_and_render(tmp_path):
         backend="reference")
     np.testing.assert_allclose(frames[0].astype(int),
                                frames_orig[0].astype(int), atol=1)
+
+
+def test_report_and_eval(tmp_path):
+    from mom_tpu.train.report import MetricsLogger, evaluate, training_report
+    import jax.numpy as jnp
+    logger = MetricsLogger(str(tmp_path), enable_tb=False)
+    logger.scalar("x", 1.0, 1)
+    gts = (np.random.RandomState(0).rand(3, 8, 8, 3) * 255).astype(np.uint8)
+    res = evaluate(lambda i: jnp.asarray(gts[i], jnp.float32) / 255.0,
+                   [0, 1, 2], gts)
+    assert res["psnr"] > 50  # identical images
+    training_report(logger, 1, "coarse", {"loss": 0.5}, eval_result=res,
+                    num_points=10)
+    logger.close()
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) >= 5
+
+
+def test_fine_sampler_covers_epoch():
+    from mom_tpu.data.sampler import FineSampler, get_stamp_list
+    s = FineSampler(n_total=40, n_poses=4, seed=0)
+    assert len(s) > 0
+    assert all(0 <= i < 40 for i in s)
+    assert get_stamp_list(40, 4, 2) == [2, 12, 22, 32]
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    import jax
+    from mom_tpu.data import checkpoints as ckpt
+    from tests.test_training import _toy_state
+    state, _ = _toy_state()
+    path = str(tmp_path / "chkpnt_fine_5.npz")
+    ckpt.save_train_state(path, state, {"iteration": 5})
+    state2, extra = ckpt.load_train_state(path, state)
+    assert int(extra["iteration"]) == 5
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -76,7 +76,9 @@ def main(argv=None):
     save_cfg_args(gaussian_path, Namespace(**vars(args)))
 
     from mom_tpu.data.scene import load_scene
+    from mom_tpu.data import checkpoints as ckpt_io
     from mom_tpu import pipeline
+    from mom_tpu.train.report import MetricsLogger
     from mom_tpu.utils.timer import Timer
 
     scene = load_scene(train_data_path,
@@ -85,25 +87,54 @@ def main(argv=None):
     state, deform_cfg, capacity = pipeline.build_initial_state(
         scene, hidden_cfg, opt_cfg, args.flow_scale)
 
+    # live SIBR-protocol viewer (gaussian_renderer/network_gui.py)
+    gui = None
+    try:
+        from mom_tpu.viewer import NetworkGUI
+        gui = NetworkGUI(args.ip, args.port)
+    except OSError as e:
+        print(f"network viewer disabled: {e}")
+
+    logger = MetricsLogger(gaussian_path)
     bg = (1, 1, 1) if model_cfg.white_background else (0, 0, 0)
     timer = Timer()
     timer.start()
 
-    state, hist_c = pipeline.scene_reconstruction(
-        state, deform_cfg, scene, opt_cfg, hidden_cfg, None, "coarse",
-        opt_cfg.coarse_iterations, gaussian_path,
+    # resume from a full-state checkpoint (reference stage-skip semantics,
+    # train_4DGS.py:56-64)
+    start_ckpt = args.start_checkpoint
+    skip_coarse = False
+    resume_state = None
+    if start_ckpt:
+        if "coarse" not in os.path.basename(start_ckpt):
+            skip_coarse = True
+        resume_state, extra = ckpt_io.load_train_state(start_ckpt, state)
+        print(f"resuming from {start_ckpt} "
+              f"(iteration {int(extra.get('iteration', -1))})")
+
+    common = dict(
         save_iterations=set(args.save_iterations),
         video_iterations=set(args.video_iterations),
         checkpoint_iterations=set(args.checkpoint_iterations),
-        bg=bg, timer=timer, backend=args.backend)
+        test_iterations=set(args.test_iterations),
+        bg=bg, timer=timer, backend=args.backend, logger=logger,
+        render_process=model_cfg.render_process, gui=gui)
+
+    if not skip_coarse:
+        if resume_state is not None and "coarse" in os.path.basename(start_ckpt):
+            state = resume_state
+        state, hist_c = pipeline.scene_reconstruction(
+            state, deform_cfg, scene, opt_cfg, hidden_cfg, None, "coarse",
+            opt_cfg.coarse_iterations, gaussian_path, **common)
+    else:
+        print("start from fine stage, skip coarse stage.")
+        if resume_state is not None:
+            state = resume_state
     state, hist_f = pipeline.scene_reconstruction(
         state, deform_cfg, scene, opt_cfg, hidden_cfg, None, "fine",
-        opt_cfg.iterations, gaussian_path,
-        save_iterations=set(args.save_iterations),
-        video_iterations=set(args.video_iterations),
-        checkpoint_iterations=set(args.checkpoint_iterations),
-        bg=bg, timer=timer, backend=args.backend)
+        opt_cfg.iterations, gaussian_path, **common)
 
+    logger.close()
     print(f"\nTraining complete. ({timer.get_elapsed_time():.1f}s train time)")
     return state
 
