@@ -114,6 +114,7 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     metrics = None
     history = []
     last_good = None
+    gui_rf = None
 
     for iteration in range(1, final_iter + 1):
         if iteration % 1000 == 0 and sh_degree < 3:
@@ -152,13 +153,16 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                 state = reset_opacity_op(state)
 
         if gui is not None:
-            rf = make_render_jit(state, deform_cfg, W, H, bg, stage=stage,
-                                 backend=backend, key_cap=key_cap)
+            if gui_rf is None:
+                gui_rf = make_render_jit(state, deform_cfg, W, H, bg,
+                                         stage=stage, backend=backend,
+                                         key_cap=key_cap)
+            _st = state
 
-            def _gui_render(cam, w, h, _rf=rf, _state=state):
+            def _gui_render(cam, w, h):
                 camj = {k: jnp.asarray(v) for k, v in cam.items()}
-                return np.asarray(_rf(_state.gauss.params, _state.gauss.aux,
-                                      _state.deform, camj))
+                return np.asarray(gui_rf(_st.gauss.params, _st.gauss.aux,
+                                         _st.deform, camj))
             gui.poll(_gui_render, model_path)
 
         if iteration % log_every == 0 or iteration == final_iter:

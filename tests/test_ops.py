@@ -58,3 +58,19 @@ def test_grid_sample_exact_corners():
     out = grid_sample_2d(grid, jnp.array([[-1.0, -1.0], [1.0, 1.0]]))
     assert float(out[0, 0]) == 0.0
     assert float(out[1, 0]) == 11.0
+
+
+def test_dense_grid_trilinear():
+    from mom_tpu.models.grid import init_dense_grid, dense_grid_sample
+    import jax.numpy as jnp
+    p = init_dense_grid(channels=2, world_size=(4, 4, 4), bounds=1.0)
+    g = np.zeros((2, 4, 4, 4), np.float32)
+    g[0] = np.arange(64).reshape(4, 4, 4)
+    p["grid"] = jnp.asarray(g)
+    # corner samples hit grid values exactly
+    out = dense_grid_sample(p, jnp.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]]))
+    assert float(out[0, 0]) == 0.0
+    assert float(out[1, 0]) == 63.0
+    # midpoint interpolates
+    mid = dense_grid_sample(p, jnp.array([[0.0, 0.0, 0.0]]))
+    assert 0 < float(mid[0, 0]) < 63
