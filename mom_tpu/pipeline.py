@@ -139,19 +139,6 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                               jnp.asarray(sh_degree, jnp.int32),
                               freeze_points=structural)
 
-        if structural:
-            opac_th, dens_th = sched.thresholds(iteration)
-            size_th = sched.size_threshold(iteration)
-            if do_densify:
-                state = densify_op(state, dens_th, opt_cfg.percent_dense,
-                                   scene.cameras_extent)
-            if do_prune:
-                state = prune_op(state, opac_th, scene.cameras_extent,
-                                 size_th if size_th is not None else 0.0,
-                                 size_th is not None)
-            if do_reset:
-                state = reset_opacity_op(state)
-
         if gui is not None:
             if gui_rf is None:
                 gui_rf = make_render_jit(state, deform_cfg, W, H, bg,
@@ -232,15 +219,33 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                  np.asarray(jnp.clip(out.color, 0, 1)),
                  np.asarray(out.depth), tag="train")
 
-        if iteration in save_iterations:
-            timer.pause()
-            save_scene(model_path, iteration, state, deform_cfg)
-            timer.start()
         if iteration in video_iterations:
             timer.pause()
             render_training_videos(model_path, iteration, state, deform_cfg,
                                    scene, stage, bg, backend, key_cap)
             timer.start()
+
+        if iteration in save_iterations:
+            timer.pause()
+            save_scene(model_path, iteration, state, deform_cfg)
+            timer.start()
+
+        # structural ops AFTER logging/eval/saving — the reference saves at
+        # saving_iterations (train_4DGS.py:249-251) before the densification
+        # block (:264-290), so an iteration-3000 save must capture the
+        # pre-opacity-reset state
+        if structural:
+            opac_th, dens_th = sched.thresholds(iteration)
+            size_th = sched.size_threshold(iteration)
+            if do_densify:
+                state = densify_op(state, dens_th, opt_cfg.percent_dense,
+                                   scene.cameras_extent)
+            if do_prune:
+                state = prune_op(state, opac_th, scene.cameras_extent,
+                                 size_th if size_th is not None else 0.0,
+                                 size_th is not None)
+            if do_reset:
+                state = reset_opacity_op(state)
         if iteration in checkpoint_iterations:
             ckpt.save_train_state(
                 os.path.join(model_path, f"chkpnt_{stage}_{iteration}.npz"),
