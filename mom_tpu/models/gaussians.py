@@ -73,8 +73,8 @@ class GaussianState(NamedTuple):
 def activated(params: GaussianParams):
     """(scales, rotations, opacities) after activation."""
     scales = jnp.exp(params.scaling)
-    rot = params.rotation / jnp.linalg.norm(params.rotation, axis=-1,
-                                            keepdims=True)
+    rot = params.rotation / jnp.maximum(
+        jnp.linalg.norm(params.rotation, axis=-1, keepdims=True), 1e-12)
     opac = jax.nn.sigmoid(params.opacity)
     return scales, rot, opac
 

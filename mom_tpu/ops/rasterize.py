@@ -229,8 +229,12 @@ def _expand_rows_bwd(key_cap, res, gfeat):
                      fill_value=0.0)                        # (key_cap, NFEAT)
     csum = jnp.concatenate([jnp.zeros((1, g_pre.shape[1]), g_pre.dtype),
                             jnp.cumsum(g_pre, axis=0)], axis=0)
-    hi = jnp.take(csum, g_offsets + g_areas, axis=0)
-    lo = jnp.take(csum, g_offsets, axis=0)
+    # clamp segment bounds: under key_cap overflow the last gaussians' slot
+    # ranges extend past the buffer (their dropped instances contributed
+    # nothing, so clipping gives the exact surviving-instance sum); jnp.take
+    # would otherwise FILL out-of-bounds rows with NaN
+    hi = jnp.take(csum, jnp.minimum(g_offsets + g_areas, key_cap), axis=0)
+    lo = jnp.take(csum, jnp.minimum(g_offsets, key_cap), axis=0)
     d_table = hi - lo                                       # (P, NFEAT)
     return d_table, None, None, None, None
 

@@ -58,7 +58,11 @@ def render(params: G.GaussianParams, aux: G.GaussianAux,
             delta_scale)
 
     scales_act = jnp.exp(scales_f) * scaling_modifier
-    rot_act = rot_f / jnp.linalg.norm(rot_f, axis=-1, keepdims=True)
+    # torch F.normalize semantics: denominator clamped (a deformed quaternion
+    # passing through zero must not emit NaN — reference relies on the same
+    # eps, torch.nn.functional.normalize)
+    rot_act = rot_f / jnp.maximum(
+        jnp.linalg.norm(rot_f, axis=-1, keepdims=True), 1e-12)
     opac_act = jax.nn.sigmoid(opac_f)
 
     common = dict(
