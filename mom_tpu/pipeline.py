@@ -113,7 +113,9 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     sh_degree = 0
     metrics = None
     history = []
-    last_good = None
+    # NaN-rewind baseline: snapshot the stage-entry state so a blow-up before
+    # the first periodic snapshot can still rewind
+    last_good = jax.device_get(state)
     gui_rf = None
 
     for iteration in range(1, final_iter + 1):
