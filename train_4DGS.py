@@ -54,6 +54,9 @@ def main(argv=None):
     parser.add_argument("--viewcrafter", action="store_true")
     parser.add_argument("--backend", type=str, default="tiled",
                         choices=["tiled", "reference"])
+    parser.add_argument("--key_cap_mult", type=float, default=4.0,
+                        help="instance-buffer headroom as a multiple of the "
+                             "initial point count (overflow is logged)")
     parser.add_argument("--trajectory_dir", type=str,
                         default="test_trajectory")
 
@@ -112,7 +115,12 @@ def main(argv=None):
         print(f"resuming from {start_ckpt} "
               f"(iteration {int(extra.get('iteration', -1))})")
 
+    from mom_tpu.ops.rasterize import CHUNK
+    n0 = int(state.gauss.num_alive)
+    key_cap = ((int(n0 * args.key_cap_mult) + CHUNK - 1) // CHUNK) * CHUNK
+
     common = dict(
+        key_cap=key_cap,
         save_iterations=set(args.save_iterations),
         video_iterations=set(args.video_iterations),
         checkpoint_iterations=set(args.checkpoint_iterations),
