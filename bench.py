@@ -101,6 +101,22 @@ def main():
     tiled_ips, state_t, loss_t = time_steps(step_tiled, state, packed, gts,
                                             30, W, H)
 
+    # render-only throughput (the reference's headline FPS print,
+    # render_4DGS.py:71)
+    import jax.numpy as jnp
+    import time as _time
+    from mom_tpu.pipeline import make_render_jit
+    rf = make_render_jit(state_t, deform_cfg, W, H, (0, 0, 0), stage="fine",
+                         backend="tiled", key_cap=key_cap)
+    cam0 = {k: jnp.asarray(v[0]) for k, v in packed.items()}
+    img = rf(state_t.gauss.params, state_t.gauss.aux, state_t.deform, cam0)
+    img.block_until_ready()
+    t0 = _time.time()
+    for _ in range(30):
+        img = rf(state_t.gauss.params, state_t.gauss.aux, state_t.deform, cam0)
+    img.block_until_ready()
+    render_fps = 30 / (_time.time() - t0)
+
     # oracle baseline (few iters; it's slow by design)
     state2, *_ = build_problem()
     step_ref = make_train_step(opt, hidden, deform_cfg, W, H, "fine",
@@ -114,6 +130,7 @@ def main():
         "unit": "iter/s",
         "vs_baseline": round(tiled_ips / ref_ips, 3),
         "extra": {
+            "render_fps_512px": round(render_fps, 2),
             "oracle_iters_per_sec": round(ref_ips, 3),
             "loss_finite": bool(np.isfinite(loss_t)),
             "backend": jax.default_backend(),

@@ -7,10 +7,13 @@ The TPU redesign of the reference CUDA pipeline
   ----                                   ----
   preprocessCUDA (1 thread/gaussian)     vmapped XLA preprocess (preprocess.py)
   cub InclusiveSum of tiles_touched      jnp.cumsum over rect areas
-  duplicateWithKeys + cub RadixSort      fixed-capacity slot expansion via
-                                         searchsorted + lax.sort on
-                                         (tile_id, depth) — no scatter at all
+  duplicateWithKeys + cub RadixSort      fixed-capacity slot expansion
+                                         (scatter segment starts + cummax
+                                         fill-forward + one packed-row
+                                         gather), then lax.sort on
+                                         (tile_id, depth)
   identifyTileRanges                     searchsorted over the sorted tile ids
+                                         (tiny) + CHUNK-aligned re-layout
   renderCUDA (16x16 block, shared mem)   Pallas kernel: one grid step per tile,
                                          chunks of 128 gaussians DMA'd HBM->VMEM,
                                          alpha as a [256 pixel, 128 gaussian]

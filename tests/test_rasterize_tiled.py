@@ -101,3 +101,19 @@ def test_key_cap_overflow_reported():
     cam, params = make_scene(n=120, width=48, height=32, seed=3)
     out = rasterize_tiled(**_args(cam, params, bg=jnp.zeros(3)), key_cap=128)
     assert int(out.overflow) > 0
+
+
+def test_overflow_gradients_stay_finite():
+    """Regression: key_cap overflow must not NaN gradients (the pack VJP's
+    out-of-bounds segment bounds used to hit jnp.take's NaN fill mode)."""
+    cam, params = make_scene(n=120, width=48, height=32, seed=3)
+
+    def loss(*p):
+        out = rasterize_tiled(**_args(cam, p, bg=jnp.zeros(3)), key_cap=256)
+        return jnp.abs(out.color - 0.5).mean()
+
+    out = rasterize_tiled(**_args(cam, params, bg=jnp.zeros(3)), key_cap=256)
+    assert int(out.overflow) > 0
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*params)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
