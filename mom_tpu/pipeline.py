@@ -100,7 +100,27 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                            spatial_lr_scale=scene.cameras_extent, bg=bg,
                            key_cap=key_cap, backend=backend)
     sched = Schedule(opt_cfg, stage)
-    sampler = ViewpointSampler(len(cams), seed=seed)
+    if getattr(opt_cfg, "dataloader", False) and opt_cfg.custom_sampler is not None:
+        # FineSampler temporal curriculum (utils/loader_utils.py:20-52,
+        # active when opt.dataloader is on)
+        from .data.sampler import FineSampler
+        n_poses = max(len(scene.train_cams), 1)
+        order = list(FineSampler(len(cams), min(n_poses, len(cams)),
+                                 seed=seed))
+
+        class _OrderSampler:
+            def __init__(self, order):
+                self.order = order
+                self.i = 0
+
+            def next(self):
+                v = self.order[self.i % len(self.order)]
+                self.i += 1
+                return v
+
+        sampler = _OrderSampler(order)
+    else:
+        sampler = ViewpointSampler(len(cams), seed=seed)
     timer = timer or Timer()
     timer.start()
 
