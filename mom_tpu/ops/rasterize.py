@@ -85,6 +85,7 @@ class Binning(NamedTuple):
                                #   are CONTIGUOUS in this space
     g_offsets: jnp.ndarray     # (P,) int32 pre-sort slot range start
     g_areas: jnp.ndarray       # (P,) int32 pre-sort slot range size
+    chunk_tile: jnp.ndarray    # (padded_cap // CHUNK,) int32 owning tile
     num_keys: jnp.ndarray      # () int32 — real instances before capping
     overflow: jnp.ndarray      # () int32 — instances dropped by key_cap
 
@@ -180,7 +181,9 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     ends_raw = jnp.searchsorted(tile_sorted, tids + 1, side="left").astype(jnp.int32)
     counts = ends_raw - starts_raw
 
-    padded = ((counts + CHUNK - 1) // CHUNK) * CHUNK
+    # every tile owns >= 1 chunk so the chunk-grid kernels initialize every
+    # output block (empty tiles produce one fully-gated chunk)
+    padded = jnp.maximum((counts + CHUNK - 1) // CHUNK, 1) * CHUNK
     pstarts_inc = jnp.cumsum(padded)
     pstarts = pstarts_inc - padded
 
@@ -198,9 +201,13 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
         [gid_sorted, slot_of_sorted], src)
     slot_origin = jnp.where(slot_valid, origin, key_cap)
 
+    # per-chunk owning tile (the chunk-grid kernels' block router)
+    chunk_tile = u_f[::CHUNK]
+
     return Binning(gid_sorted=gid_padded, tile_starts=pstarts,
                    tile_ends=pstarts + counts, slot_valid=slot_valid,
                    slot_origin=slot_origin, g_offsets=offsets, g_areas=areas,
+                   chunk_tile=chunk_tile,
                    num_keys=jnp.minimum(total, key_cap),
                    overflow=jnp.maximum(total - key_cap, 0))
 
@@ -294,95 +301,69 @@ def image_to_tiles(x: jnp.ndarray, geom: _TileGeom) -> jnp.ndarray:
 
 
 def _forward_kernel(geom: _TileGeom):
-    """Build the forward compositing kernel for a static tile geometry.
-    Input chunks are double-buffered: chunk k+1's HBM->VMEM DMA is in flight
-    while chunk k computes."""
+    """Chunk-grid forward compositing kernel: one grid step per 128-instance
+    chunk, routed to its tile's output block via a scalar-prefetched
+    chunk->tile map.  Pallas pipelines the blocked feature input (double
+    buffering for free); transmittance carries across a tile's consecutive
+    chunks in persistent VMEM scratch; early-exited chunks skip compute."""
     gx = geom.grid_x
 
-    def kernel(starts_ref, ends_ref, feat_hbm, acc_out, logt_out,
-               feat_vmem, acc_ref, logt_ref, sem):
-        t = pl.program_id(0)
-        start = starts_ref[t]
-        end = ends_ref[t]
-        n = end - start
-        nchunks = (n + CHUNK - 1) // CHUNK
+    def kernel(ct_ref, ts_ref, te_ref, feat_blk, acc_out, logt_out,
+               logt_ref):
+        c = pl.program_id(0)
+        t = ct_ref[c]
+        cstart = c * CHUNK
+        first = cstart == ts_ref[t]
+        n = te_ref[t] - cstart            # valid lanes in this chunk (<=0 ok)
 
-        ty = t // gx
-        tx = t % gx
-        pix = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
-        px = (tx * TILE + pix % TILE).astype(jnp.float32)     # [256, 1]
-        py = (ty * TILE + pix // TILE).astype(jnp.float32)
-
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        logt_ref[...] = jnp.zeros_like(logt_ref)
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-
-        def dma(k):
-            slot = jax.lax.rem(k, 2)
-            off = pl.multiple_of(start + k * CHUNK, CHUNK)
-            return pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(off, CHUNK)], feat_vmem.at[slot],
-                sem.at[slot])
-
-        @pl.when(nchunks > 0)
+        @pl.when(first)
         def _():
-            dma(jnp.int32(0)).start()
+            logt_ref[...] = jnp.zeros_like(logt_ref)
+            acc_out[...] = jnp.zeros_like(acc_out)
 
-        def body(state):
-            k, _ = state
+        done = jnp.max(logt_ref[...]) < LOG_T_EPS
 
-            @pl.when(k + 1 < nchunks)
-            def _():
-                dma(k + 1).start()
+        @pl.when(jnp.logical_and(jnp.logical_not(done), n > 0))
+        def _():
+            ty = t // gx
+            tx = t - ty * gx
+            pix = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
+            px = (tx * TILE + pix % TILE).astype(jnp.float32)   # [256, 1]
+            py = (ty * TILE + pix // TILE).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-            dma(k).wait()
-            fv = feat_vmem[jax.lax.rem(k, 2)]                 # [NFEAT, CHUNK]
-
-            dx = fv[R_MX:R_MX + 1, :] - px                    # [256, CHUNK]
+            fv = feat_blk[...]                                  # [NFEAT, CHUNK]
+            dx = fv[R_MX:R_MX + 1, :] - px                      # [256, CHUNK]
             dy = fv[R_MY:R_MY + 1, :] - py
             a = fv[R_CA:R_CA + 1, :]
             b = fv[R_CB:R_CB + 1, :]
-            c = fv[R_CC:R_CC + 1, :]
+            cc = fv[R_CC:R_CC + 1, :]
             op = fv[R_OP:R_OP + 1, :]
-            power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+            power = -0.5 * (a * dx * dx + cc * dy * dy) - b * dx * dy
             alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-            in_len = (lane + k * CHUNK) < n                   # [1, CHUNK]
-            gate = (alpha >= ALPHA_MIN) & (power <= 0.0) & in_len
+            gate = (alpha >= ALPHA_MIN) & (power <= 0.0) & (lane < n)
             alpha = jnp.where(gate, alpha, 0.0)
 
             u = jnp.log1p(-alpha)
             cum = _lane_cumsum(u)
-            logT = logt_ref[...] + (cum - u)                  # exclusive
+            logT = logt_ref[...] + (cum - u)                    # exclusive
             w = jnp.where(gate & (logT >= LOG_T_EPS),
-                          alpha * jnp.exp(logT), 0.0)         # [256, CHUNK]
+                          alpha * jnp.exp(logT), 0.0)           # [256, CHUNK]
 
             contrib = jax.lax.dot_general(
-                w, fv, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [256, NFEAT]
-            acc_ref[...] = acc_ref[...] + contrib
+                w, fv[R_R:R_D + 1, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [256, 4]
+            acc_out[...] = acc_out[...] + contrib[None]
             logt_ref[...] = logt_ref[...] + cum[:, -1:]
 
-            done = jnp.max(logt_ref[...]) < LOG_T_EPS
-            return k + 1, done
-
-        k_final, _ = jax.lax.while_loop(
-            lambda s: jnp.logical_and(s[0] < nchunks, jnp.logical_not(s[1])),
-            body, (jnp.int32(0), False))
-
-        # early exit leaves chunk k_final's prefetch in flight — drain it
-        @pl.when(k_final < nchunks)
-        def _():
-            dma(k_final).wait()
-
-        acc_out[0] = acc_ref[...][:, R_R:R_D + 1]
-        logt_out[0] = logt_ref[...]
+        logt_out[...] = logt_ref[...][None]
 
     return kernel
 
 
 def _backward_kernel(geom: _TileGeom):
-    """Replay the forward walk, emitting per-instance gradients.
+    """Chunk-grid backward kernel: replays the forward walk and writes this
+    chunk's per-instance gradients to its own output block.
 
     Per pixel p and instance j (see rasterize_ref.py for notation):
       L depends on w_j = gate_j * [T_j >= eps] * alpha_j * T_j and on
@@ -394,70 +375,47 @@ def _backward_kernel(geom: _TileGeom):
     """
     gx = geom.grid_x
 
-    def kernel(starts_ref, ends_ref, feat_hbm, g4_in, stotal_in, glogt_in,
-               gfeat_out_hbm,
-               feat_vmem, gfeat_vmem, logt_ref, pref_ref, sem, osem):
-        t = pl.program_id(0)
-        start = starts_ref[t]
-        end = ends_ref[t]
-        n = end - start
-        nchunks = (n + CHUNK - 1) // CHUNK
+    def kernel(ct_ref, ts_ref, te_ref, feat_blk, g4_in, stotal_in, glogt_in,
+               gfeat_out, logt_ref, pref_ref):
+        c = pl.program_id(0)
+        t = ct_ref[c]
+        cstart = c * CHUNK
+        first = cstart == ts_ref[t]
+        n = te_ref[t] - cstart
 
-        ty = t // gx
-        tx = t % gx
-        pix = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
-        px = (tx * TILE + pix % TILE).astype(jnp.float32)
-        py = (ty * TILE + pix // TILE).astype(jnp.float32)
-
-        logt_ref[...] = jnp.zeros_like(logt_ref)
-        pref_ref[...] = jnp.zeros_like(pref_ref)
-
-        g4 = g4_in[0]                                         # [256, 4]
-        s_total = stotal_in[0]                                # [256, 1]
-        g_logt = glogt_in[0]                                  # [256, 1]
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-
-        def dma_in(k):
-            slot = jax.lax.rem(k, 2)
-            off = pl.multiple_of(start + k * CHUNK, CHUNK)
-            return pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(off, CHUNK)], feat_vmem.at[slot],
-                sem.at[slot])
-
-        def dma_out(k):
-            slot = jax.lax.rem(k, 2)
-            off = pl.multiple_of(start + k * CHUNK, CHUNK)
-            return pltpu.make_async_copy(
-                gfeat_vmem.at[slot], gfeat_out_hbm.at[:, pl.ds(off, CHUNK)],
-                osem.at[slot])
-
-        @pl.when(nchunks > 0)
+        @pl.when(first)
         def _():
-            dma_in(jnp.int32(0)).start()
+            logt_ref[...] = jnp.zeros_like(logt_ref)
+            pref_ref[...] = jnp.zeros_like(pref_ref)
 
-        def body(state):
-            k, _ = state
+        done = jnp.max(logt_ref[...]) < LOG_T_EPS
+        active = jnp.logical_and(jnp.logical_not(done), n > 0)
 
-            @pl.when(k + 1 < nchunks)
-            def _():
-                dma_in(k + 1).start()
+        @pl.when(active)
+        def _():
+            ty = t // gx
+            tx = t - ty * gx
+            pix = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
+            px = (tx * TILE + pix % TILE).astype(jnp.float32)
+            py = (ty * TILE + pix // TILE).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-            dma_in(k).wait()
-            fv = feat_vmem[jax.lax.rem(k, 2)]
+            g4 = g4_in[0]                                       # [256, 4]
+            s_total = stotal_in[0]                              # [256, 1]
+            g_logt = glogt_in[0]                                # [256, 1]
 
+            fv = feat_blk[...]
             dx = fv[R_MX:R_MX + 1, :] - px
             dy = fv[R_MY:R_MY + 1, :] - py
             a = fv[R_CA:R_CA + 1, :]
             b = fv[R_CB:R_CB + 1, :]
-            c = fv[R_CC:R_CC + 1, :]
+            cc = fv[R_CC:R_CC + 1, :]
             op = fv[R_OP:R_OP + 1, :]
-            power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+            power = -0.5 * (a * dx * dx + cc * dy * dy) - b * dx * dy
             expp = jnp.exp(power)
             v = op * expp
             alpha = jnp.minimum(ALPHA_MAX, v)
-            in_len = (lane + k * CHUNK) < n
-            gate = (alpha >= ALPHA_MIN) & (power <= 0.0) & in_len
+            gate = (alpha >= ALPHA_MIN) & (power <= 0.0) & (lane < n)
             alpha_g = jnp.where(gate, alpha, 0.0)
 
             u = jnp.log1p(-alpha_g)
@@ -467,106 +425,67 @@ def _backward_kernel(geom: _TileGeom):
             live = gate & (logT >= LOG_T_EPS)
             w = jnp.where(live, alpha * T, 0.0)
 
-            # phi[256, CHUNK] = g4 . feat4 (rows R..D)
-            feat4 = fv[R_R:R_D + 1, :]                         # [4, CHUNK]
+            feat4 = fv[R_R:R_D + 1, :]                          # [4, CHUNK]
             phi = jax.lax.dot_general(
                 g4, feat4, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [256, CHUNK]
+                preferred_element_type=jnp.float32)             # [256, CHUNK]
 
             wphi = w * phi
-            pref = pref_ref[...] + _lane_cumsum(wphi)          # inclusive
+            pref = pref_ref[...] + _lane_cumsum(wphi)           # inclusive
             S = s_total - pref                                  # [256, CHUNK]
 
             dalpha = jnp.where(live, T * phi, 0.0) - jnp.where(
                 gate, (S + g_logt) / (1.0 - alpha_g), 0.0)
             clamp_ok = (v < ALPHA_MAX)
-            dpow = jnp.where(clamp_ok, dalpha * alpha, 0.0)    # dv/dpower = v
+            dpow = jnp.where(clamp_ok, dalpha * alpha, 0.0)     # dv/dpower = v
             dop_pix = jnp.where(clamp_ok, dalpha * expp, 0.0)
 
-            # reduce over pixels (axis 0) -> per-instance rows [1, CHUNK]
             dmx = jnp.sum(dpow * (-(a * dx + b * dy)), axis=0, keepdims=True)
-            dmy = jnp.sum(dpow * (-(c * dy + b * dx)), axis=0, keepdims=True)
+            dmy = jnp.sum(dpow * (-(cc * dy + b * dx)), axis=0, keepdims=True)
             dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
             dcb = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
             dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
             dop = jnp.sum(dop_pix, axis=0, keepdims=True)
 
-            # dfeat4[4, CHUNK] = g4^T @ w
             dfeat4 = jax.lax.dot_general(
                 g4, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [4, CHUNK]
+                preferred_element_type=jnp.float32)             # [4, CHUNK]
 
             zeros6 = jnp.zeros((NFEAT - 10, CHUNK), jnp.float32)
-            out_slot = jax.lax.rem(k, 2)
-
-            # wait for the write that used this slot two chunks ago
-            @pl.when(k >= 2)
-            def _():
-                dma_out(k - 2).wait()
-
-            gfeat_vmem[out_slot] = jnp.concatenate(
+            gfeat_out[...] = jnp.concatenate(
                 [dmx, dmy, dca, dcb, dcc, dop, dfeat4, zeros6], axis=0)
-            dma_out(k).start()
 
             logt_ref[...] = logt_ref[...] + cum[:, -1:]
             pref_ref[...] = pref[:, -1:]
-            done = jnp.max(logt_ref[...]) < LOG_T_EPS
-            return k + 1, done
 
-        k_final, _ = jax.lax.while_loop(
-            lambda s: jnp.logical_and(s[0] < nchunks, jnp.logical_not(s[1])),
-            body, (jnp.int32(0), False))
-
-        # drain: outstanding input prefetch on early exit, plus the last two
-        # output writes
-        @pl.when(k_final < nchunks)
+        @pl.when(jnp.logical_not(active))
         def _():
-            dma_in(k_final).wait()
-
-        @pl.when(k_final >= 2)
-        def _():
-            dma_out(k_final - 2).wait()
-
-        @pl.when(k_final >= 1)
-        def _():
-            dma_out(k_final - 1).wait()
-
-        # zero-fill instance grads for chunks skipped by the early exit so the
-        # gather transpose never scatters garbage
-        def zero_body(k):
-            slot = jax.lax.rem(k, 2)
-            gfeat_vmem[slot] = jnp.zeros((NFEAT, CHUNK), jnp.float32)
-            ocopy = dma_out(k)
-            ocopy.start()
-            ocopy.wait()
-            return k + 1
-
-        jax.lax.while_loop(lambda k: k < nchunks, zero_body, k_final)
+            gfeat_out[...] = jnp.zeros_like(gfeat_out)
 
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _composite(feat, starts, ends, slot_valid, width, height):
-    return _composite_fwd_impl(feat, starts, ends, width, height)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _composite(feat, chunk_tile, starts, ends, slot_valid, width, height):
+    return _composite_fwd_impl(feat, chunk_tile, starts, ends, width, height)
 
 
-def _composite_fwd_impl(feat, starts, ends, width, height):
+def _composite_fwd_impl(feat, chunk_tile, starts, ends, width, height):
     geom = _geom(width, height)
     num_tiles = geom.grid_x * geom.grid_y
+    n_chunks = feat.shape[1] // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((NFEAT, CHUNK), lambda c, ct, ts, te: (0, c))],
         out_specs=[
-            pl.BlockSpec((1, TILE * TILE, 4), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, TILE * TILE, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, TILE * TILE, 4),
+                         lambda c, ct, ts, te: (ct[c], 0, 0)),
+            pl.BlockSpec((1, TILE * TILE, 1),
+                         lambda c, ct, ts, te: (ct[c], 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
-            pltpu.VMEM((TILE * TILE, NFEAT), jnp.float32),
             pltpu.VMEM((TILE * TILE, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     acc, logt = pl.pallas_call(
@@ -577,39 +496,39 @@ def _composite_fwd_impl(feat, starts, ends, width, height):
             jax.ShapeDtypeStruct((num_tiles, TILE * TILE, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(starts, ends, feat)
+    )(chunk_tile, starts, ends, feat)
     return acc, logt
 
 
-def _composite_fwd(feat, starts, ends, slot_valid, width, height):
-    acc, logt = _composite_fwd_impl(feat, starts, ends, width, height)
-    return (acc, logt), (feat, starts, ends, slot_valid, acc)
+def _composite_fwd(feat, chunk_tile, starts, ends, slot_valid, width, height):
+    acc, logt = _composite_fwd_impl(feat, chunk_tile, starts, ends, width,
+                                    height)
+    return (acc, logt), (feat, chunk_tile, starts, ends, slot_valid, acc)
 
 
 def _composite_bwd(width, height, res, cts):
-    feat, starts, ends, slot_valid, acc = res
+    feat, chunk_tile, starts, ends, slot_valid, acc = res
     g_acc, g_logt = cts
     geom = _geom(width, height)
-    num_tiles = geom.grid_x * geom.grid_y
+    n_chunks = feat.shape[1] // CHUNK
     s_total = jnp.sum(g_acc * acc, axis=-1, keepdims=True)   # (T, 256, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, TILE * TILE, 4), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, TILE * TILE, 1), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, TILE * TILE, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((NFEAT, CHUNK), lambda c, ct, ts, te: (0, c)),
+            pl.BlockSpec((1, TILE * TILE, 4),
+                         lambda c, ct, ts, te: (ct[c], 0, 0)),
+            pl.BlockSpec((1, TILE * TILE, 1),
+                         lambda c, ct, ts, te: (ct[c], 0, 0)),
+            pl.BlockSpec((1, TILE * TILE, 1),
+                         lambda c, ct, ts, te: (ct[c], 0, 0)),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec((NFEAT, CHUNK), lambda c, ct, ts, te: (0, c))],
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
             pltpu.VMEM((TILE * TILE, 1), jnp.float32),
             pltpu.VMEM((TILE * TILE, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     gfeat = pl.pallas_call(
@@ -617,12 +536,10 @@ def _composite_bwd(width, height, res, cts):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(feat.shape, jnp.float32)],
         interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, ends, feat, g_acc, s_total, g_logt)[0]
-    # pad slots are never visited by any tile program; mask them so their
-    # (clamped) gather ids receive no gradient
+    )(chunk_tile, starts, ends, feat, g_acc, s_total, g_logt)[0]
+    # pad slots carry no gradient
     gfeat = jnp.where(slot_valid[None, :], gfeat, 0.0)
-    return gfeat, None, None, None
+    return gfeat, None, None, None, None
 
 
 _composite.defvjp(_composite_fwd, _composite_bwd)
@@ -659,8 +576,9 @@ def rasterize_tiled(means3d, scales, rotations, opacities, shs,
     binning = bin_gaussians(jax.tree.map(jax.lax.stop_gradient, pre),
                             width, height, key_cap)
     feat = _pack_features(pre, binning, key_cap)
-    acc_t, logt_t = _composite(feat, binning.tile_starts, binning.tile_ends,
-                               binning.slot_valid, width, height)
+    acc_t, logt_t = _composite(feat, binning.chunk_tile, binning.tile_starts,
+                               binning.tile_ends, binning.slot_valid,
+                               width, height)
     geom = _geom(width, height)
     acc = tiles_to_image(acc_t, geom)[:height, :width]
     logt = tiles_to_image(logt_t, geom)[:height, :width, 0]
