@@ -39,7 +39,6 @@ def test_c2w_export_roundtrips_through_stage2_reader():
     """c2w_export -> from_c2w must recover the same world->view transform
     used for projection, keeping stages 1 and 2 geometrically consistent."""
     from mom_tpu.cameras import from_c2w
-    poses = pcd_mod.get_pcd_gen_poses = None  # silence lint
     render = np.zeros((1, 3, 4))
     render[0, :3, :3] = np.eye(3)
     internal = np.zeros((1, 3, 4))
