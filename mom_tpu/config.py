@@ -104,6 +104,9 @@ class OptimizationParams:
     percent_dense: float = 0.01
     lambda_dssim: float = 0
     lambda_lpips: float = 0
+    # extension: path to a torch lpips.LPIPS(net='alex') checkpoint; random
+    # features when absent (train/lpips.py)
+    lpips_ckpt: str | None = None
     weight_constraint_init: float = 1
     weight_constraint_after: float = 0.2
     weight_decay_iteration: int = 5000

@@ -69,6 +69,17 @@ def deformation_to_torch_state(deform_params: dict, deform_cfg) -> dict:
                  "opacity_deform", "shs_deform"):
         put_linear(f"deformation_net.{name}.1", deform_params[name][0])
         put_linear(f"deformation_net.{name}.3", deform_params[name][1])
+    # optional branches (scene/deformation.py:30-33)
+    if "empty_voxel" in deform_params:
+        ev = deform_params["empty_voxel"]
+        sd["deformation_net.empty_voxel.grid"] = t(np.asarray(ev["grid"])[None])
+        sd["deformation_net.empty_voxel.xyz_min"] = t(ev["xyz_min"])
+        sd["deformation_net.empty_voxel.xyz_max"] = t(ev["xyz_max"])
+    if "static_mlp" in deform_params:
+        put_linear("deformation_net.static_mlp.1",
+                   deform_params["static_mlp"][0])
+        put_linear("deformation_net.static_mlp.3",
+                   deform_params["static_mlp"][1])
     return sd
 
 
@@ -101,6 +112,15 @@ def deformation_from_torch_state(sd: dict, deform_params_template: dict) -> dict
                  "opacity_deform", "shs_deform"):
         out[name] = [get_linear(f"deformation_net.{name}.1"),
                      get_linear(f"deformation_net.{name}.3")]
+    if "deformation_net.empty_voxel.grid" in sd:
+        out["empty_voxel"] = {
+            "grid": a(sd["deformation_net.empty_voxel.grid"])[0],
+            "xyz_min": a(sd["deformation_net.empty_voxel.xyz_min"]),
+            "xyz_max": a(sd["deformation_net.empty_voxel.xyz_max"]),
+        }
+    if "deformation_net.static_mlp.1.weight" in sd:
+        out["static_mlp"] = [get_linear("deformation_net.static_mlp.1"),
+                             get_linear("deformation_net.static_mlp.3")]
     return out
 
 

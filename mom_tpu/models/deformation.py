@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import grid
 from . import hexplane
 from .hexplane import HexPlaneConfig
 
@@ -47,6 +48,8 @@ class DeformConfig(NamedTuple):
     no_do: bool = True
     no_dshs: bool = True
     apply_rotation: bool = False
+    empty_voxel: bool = False
+    static_mlp: bool = False
 
 
 def _linear_init(key, in_dim, out_dim):
@@ -85,18 +88,44 @@ def init_deformation(key, config: DeformConfig) -> dict:
                     _linear_init(keys[15], config.timenet_width,
                                  config.timenet_output)],
     }
+    if config.empty_voxel:
+        # DenseGrid alpha mask over the base parameters
+        # (scene/deformation.py:30-31, 101-102)
+        params["empty_voxel"] = grid.init_dense_grid(1, (64, 64, 64),
+                                                     config.bounds)
+    if config.static_mlp:
+        # Sequential(ReLU, Linear, ReLU, Linear(W,1))
+        # (scene/deformation.py:32-33, 99-100)
+        params["static_mlp"] = _head_init(keys[7], W, 1)
+    return params
+
+
+def set_deform_aabb(params: dict, xyz_max, xyz_min) -> dict:
+    """deform_network.set_aabb (scene/deformation.py:40-44): sets the
+    HexPlane AABB and, when present, the empty-voxel grid's AABB."""
+    params = dict(params)
+    params["grid"] = hexplane.set_aabb(params["grid"], xyz_max, xyz_min)
+    if "empty_voxel" in params:
+        params["empty_voxel"] = grid.set_aabb(params["empty_voxel"],
+                                              xyz_max, xyz_min)
     return params
 
 
 def mlp_param_tree(params: dict) -> dict:
-    """The 'deformation' optimizer group: everything except the grids
-    (gaussian_model.py:199, deformation.py:154-159)."""
-    return {k: v for k, v in params.items() if k != "grid"}
+    """The 'deformation' optimizer group: every parameter whose torch name
+    lacks 'grid' (gaussian_model.py:199, deformation.py:154-159) — the
+    empty_voxel DenseGrid's parameter is named ``empty_voxel.grid`` so it
+    lands in the grid group."""
+    return {k: v for k, v in params.items()
+            if k not in ("grid", "empty_voxel")}
 
 
 def grid_param_tree(params: dict) -> dict:
     """The 'grid' optimizer group (gaussian_model.py:200)."""
-    return {"grid": params["grid"]}
+    out = {"grid": params["grid"]}
+    if "empty_voxel" in params:
+        out["empty_voxel"] = params["empty_voxel"]
+    return out
 
 
 def _apply_linear(p, x):
@@ -127,20 +156,36 @@ def deform(params: dict, config: DeformConfig,
            frame_num, delta_scale):
     """Raw (pre-activation) parameters in, deformed raw parameters out,
     matching the reference call (gaussian_renderer/__init__.py:101-103 ->
-    deformation.py:97-153 with mask == 1)."""
+    deformation.py:97-153).
+
+    The mask multiplies the BASE parameter (not the delta):
+    ``pts = xyz * mask + dx`` etc. (deformation.py:113-116, 119-124,
+    141-143, 148-150); rotations never use the mask.  mask == 1 by default;
+    static_mlp predicts it from the hexplane feature, empty_voxel samples a
+    trainable DenseGrid at the undeformed position (deformation.py:99-104)."""
     h = _feature(params, config, means3d, times)
+
+    if config.static_mlp:
+        mask = _apply_head(params["static_mlp"], h)          # (N, 1)
+    elif config.empty_voxel:
+        mask = grid.dense_grid_sample(params["empty_voxel"], means3d)
+    else:
+        mask = None                                          # identity
+
+    def base(x):
+        return x if mask is None else x * mask
 
     if config.no_dx:
         pts = means3d
     else:
         dx = _apply_head(params["pos_deform"], h)
         dx = dx + delta_scale * (frame_num * scene_flow)
-        pts = means3d + dx
+        pts = base(means3d) + dx
 
     if config.no_ds:
         new_scales = scales
     else:
-        new_scales = scales + _apply_head(params["scales_deform"], h)
+        new_scales = base(scales) + _apply_head(params["scales_deform"], h)
 
     if config.no_dr:
         new_rot = rotations
@@ -154,13 +199,13 @@ def deform(params: dict, config: DeformConfig,
     if config.no_do:
         new_opacity = opacity
     else:
-        new_opacity = opacity + _apply_head(params["opacity_deform"], h)
+        new_opacity = base(opacity) + _apply_head(params["opacity_deform"], h)
 
     if config.no_dshs:
         new_shs = shs
     else:
         dshs = _apply_head(params["shs_deform"], h).reshape(shs.shape[0], 16, 3)
-        new_shs = shs + dshs
+        new_shs = (shs if mask is None else shs * mask[:, :, None]) + dshs
 
     return pts, new_scales, new_rot, new_opacity, new_shs
 

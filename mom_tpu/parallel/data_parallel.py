@@ -30,7 +30,8 @@ from ..models import deformation as D
 from ..models.hexplane import grid_regularization
 from ..render import render
 from ..train import losses
-from ..train.loop import TrainState, _params_by_group, _from_groups
+from ..train.loop import (TrainState, _params_by_group, _from_groups,
+                          _deform_statics)
 from ..train.optim import group_lrs, adam_step, POINT_GROUPS
 
 
@@ -51,8 +52,8 @@ def make_dp_train_step(mesh: Mesh, opt_cfg, hidden_cfg, deform_cfg,
     use_tv = stage == "fine" and hidden_cfg.time_smoothness_weight != 0
     use_ssim = opt_cfg.lambda_dssim != 0
 
-    def local_loss(groups, aabb, aux, cam, gt, sh_degree, offset):
-        params, deform = _from_groups(groups, aabb)
+    def local_loss(groups, statics, aux, cam, gt, sh_degree, offset):
+        params, deform = _from_groups(groups, statics)
         out = render(params, aux, deform, deform_cfg, cam, width, height,
                      bgj, stage=stage, active_sh_degree=sh_degree,
                      delta_scale=1.0, means2d_offset=offset,
@@ -74,7 +75,7 @@ def make_dp_train_step(mesh: Mesh, opt_cfg, hidden_cfg, deform_cfg,
         # runs per device under shard_map: cams/gts leaves have a leading
         # axis of 1 (this device's shard)
         groups = _params_by_group(state.gauss.params, state.deform)
-        aabb = state.deform["grid"]["aabb"]
+        statics = _deform_statics(state.deform)
         C = state.gauss.capacity
         offset = jnp.zeros((C, 2), jnp.float32)
         cam0 = jax.tree.map(lambda a: a[0], cams)
@@ -82,7 +83,7 @@ def make_dp_train_step(mesh: Mesh, opt_cfg, hidden_cfg, deform_cfg,
 
         (loss, (ll1, psnr, radii)), grads = jax.value_and_grad(
             local_loss, argnums=(0, 6), has_aux=True)(
-            groups, aabb, state.gauss.aux, cam0, gt0, sh_degree, offset)
+            groups, statics, state.gauss.aux, cam0, gt0, sh_degree, offset)
         ggroups, goffset = grads
 
         # average over the data axis (ICI all-reduce)
@@ -103,7 +104,7 @@ def make_dp_train_step(mesh: Mesh, opt_cfg, hidden_cfg, deform_cfg,
         alive_mask = {g: aux.alive for g in POINT_GROUPS}
         new_groups, new_adam = adam_step(groups, ggroups, state.adam, lrs,
                                          update_mask=alive_mask)
-        params, deform = _from_groups(new_groups, aabb)
+        params, deform = _from_groups(new_groups, statics)
         new_state = TrainState(
             gauss=G.GaussianState(params=params, aux=aux),
             deform=deform, adam=new_adam, rng=state.rng)

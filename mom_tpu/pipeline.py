@@ -18,7 +18,7 @@ from .data.scene import SceneData
 from .data import checkpoints as ckpt
 from .models import gaussians as G
 from .models import deformation as D
-from .models.hexplane import HexPlaneConfig, set_aabb
+from .models.hexplane import HexPlaneConfig
 from .render import render as render_fn
 from .train import optim
 from .train.loop import (TrainState, make_train_step, densify_op, prune_op,
@@ -38,7 +38,8 @@ def deform_config_from_hidden(hidden: C.ModelHiddenParams) -> D.DeformConfig:
         timenet_output=hidden.timenet_output, grid=grid,
         bounds=hidden.bounds, no_dx=hidden.no_dx, no_ds=hidden.no_ds,
         no_dr=hidden.no_dr, no_do=hidden.no_do, no_dshs=hidden.no_dshs,
-        apply_rotation=hidden.apply_rotation)
+        apply_rotation=hidden.apply_rotation,
+        empty_voxel=hidden.empty_voxel, static_mlp=hidden.static_mlp)
 
 
 def pick_capacity(n_init: int, opt_cfg: C.OptimizationParams) -> int:
@@ -62,7 +63,7 @@ def build_initial_state(scene: SceneData, hidden: C.ModelHiddenParams,
                               scene.point_cloud.colors,
                               scene.scene_flow, flow_scale, capacity)
     deform = D.init_deformation(jax.random.PRNGKey(seed), deform_cfg)
-    deform["grid"] = set_aabb(deform["grid"], scene.xyz_max, scene.xyz_min)
+    deform = D.set_deform_aabb(deform, scene.xyz_max, scene.xyz_min)
     groups = _params_by_group(gauss.params, deform)
     adam = optim.init_adam(groups)
     state = TrainState(gauss=gauss, deform=deform, adam=adam,
@@ -137,6 +138,11 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     # the first periodic snapshot can still rewind
     last_good = jax.device_get(state)
     gui_rf = None
+    # one-step-lagged NaN probe: the previous iteration's loss is fetched
+    # after the current step is dispatched, so the host never blocks on the
+    # in-flight step but a NaN is caught within one iteration (the reference
+    # checks every iteration, train_4DGS.py:224-226)
+    pending_loss = None
 
     for iteration in range(1, final_iter + 1):
         if iteration % 1000 == 0 and sh_degree < 3:
@@ -160,6 +166,16 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                               jnp.asarray(iteration, jnp.float32),
                               jnp.asarray(sh_degree, jnp.int32),
                               freeze_points=structural)
+
+        if pending_loss is not None and not math.isfinite(float(pending_loss)):
+            if last_good is None:
+                raise FloatingPointError("non-finite loss with no checkpoint")
+            print(f"[{stage} {iteration - 1}] loss is non-finite — "
+                  "rewinding to last good state")
+            state = jax.device_put(last_good)
+            pending_loss = None
+            continue
+        pending_loss = metrics["loss"]
 
         if gui is not None:
             if gui_rf is None:
@@ -188,15 +204,11 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                       f"loss={m['loss']:.5f} psnr={m['psnr']:.2f} "
                       f"points={int(m['points'])} overflow={int(m['overflow'])}",
                       flush=True)
-            if math.isnan(m["loss"]):
-                # NaN guard: rewind instead of the reference's os.execv
-                # restart (train_4DGS.py:224-226)
-                if last_good is not None:
-                    print("loss is NaN — rewinding to last good state")
-                    state = jax.device_put(last_good)
-                else:
-                    raise FloatingPointError("NaN loss with no checkpoint")
-            elif iteration % 500 == 0 or last_good is None:
+            # non-finite losses rewind within one iteration via the lagged
+            # probe above (replaces the reference's os.execv restart,
+            # train_4DGS.py:224-226); here we only refresh the rewind target
+            if math.isfinite(m["loss"]) and (iteration % 500 == 0
+                                             or last_good is None):
                 # host snapshot (device buffers get donated every step)
                 last_good = jax.device_get(state)
 
@@ -213,7 +225,7 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                 camj = {k: jnp.asarray(v[i]) for k, v in test_packed.items()}
                 return rf(state.gauss.params, state.gauss.aux, state.deform,
                           camj)
-            result = evaluate(_eval_render, test_cams, test_gts, every=3)
+            result = evaluate(_eval_render, test_cams, test_gts)
             if logger is not None:
                 training_report(logger, iteration, stage, {},
                                 eval_result=result)

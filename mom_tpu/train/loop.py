@@ -43,7 +43,12 @@ class TrainState(NamedTuple):
 
 def _params_by_group(params: G.GaussianParams, deform: dict) -> dict:
     # the grid group excludes the (non-trainable) aabb, mirroring
-    # requires_grad=False on HexPlaneField.aabb (scene/hexplane.py:120)
+    # requires_grad=False on HexPlaneField.aabb (scene/hexplane.py:120);
+    # the empty_voxel DenseGrid joins the grid group (its torch name
+    # 'empty_voxel.grid' contains 'grid', deformation.py:160-165)
+    grid_group = deform["grid"]["grids"]
+    if "empty_voxel" in deform:
+        grid_group = {"hex": grid_group, "voxel": deform["empty_voxel"]["grid"]}
     return {
         "xyz": params.xyz,
         "f_dc": params.features_dc,
@@ -52,16 +57,32 @@ def _params_by_group(params: G.GaussianParams, deform: dict) -> dict:
         "scaling": params.scaling,
         "rotation": params.rotation,
         "deformation": D.mlp_param_tree(deform),
-        "grid": deform["grid"]["grids"],
+        "grid": grid_group,
     }
 
 
-def _from_groups(g: dict, aabb) -> tuple:
+def _deform_statics(deform: dict) -> dict:
+    """Non-trainable deformation buffers threaded around the grad."""
+    statics = {"aabb": deform["grid"]["aabb"]}
+    if "empty_voxel" in deform:
+        statics["ev_xyz_max"] = deform["empty_voxel"]["xyz_max"]
+        statics["ev_xyz_min"] = deform["empty_voxel"]["xyz_min"]
+    return statics
+
+
+def _from_groups(g: dict, statics: dict) -> tuple:
     params = G.GaussianParams(
         xyz=g["xyz"], features_dc=g["f_dc"], features_rest=g["f_rest"],
         scaling=g["scaling"], rotation=g["rotation"], opacity=g["opacity"])
     deform = dict(g["deformation"])
-    deform["grid"] = {"grids": g["grid"], "aabb": aabb}
+    gg = g["grid"]
+    if isinstance(gg, dict):
+        deform["grid"] = {"grids": gg["hex"], "aabb": statics["aabb"]}
+        deform["empty_voxel"] = {"grid": gg["voxel"],
+                                 "xyz_max": statics["ev_xyz_max"],
+                                 "xyz_min": statics["ev_xyz_min"]}
+    else:
+        deform["grid"] = {"grids": gg, "aabb": statics["aabb"]}
     return params, deform
 
 
@@ -75,9 +96,14 @@ def make_train_step(opt_cfg, hidden_cfg, deform_cfg: D.DeformConfig,
     bgj = jnp.asarray(bg, jnp.float32)
     use_ssim = opt_cfg.lambda_dssim != 0
     use_tv = stage == "fine" and hidden_cfg.time_smoothness_weight != 0
+    lambda_lpips = getattr(opt_cfg, "lambda_lpips", 0)
+    lpips_params = None
+    if lambda_lpips != 0:
+        from . import lpips as LP
+        lpips_params = LP.load_lpips(getattr(opt_cfg, "lpips_ckpt", None))
 
-    def loss_fn(groups, aabb, aux, cams, gts, sh_degree, offset):
-        params, deform = _from_groups(groups, aabb)
+    def loss_fn(groups, statics, aux, cams, gts, sh_degree, offset):
+        params, deform = _from_groups(groups, statics)
 
         def render_one(cam, off):
             return render(params, aux, deform, deform_cfg, cam, width, height,
@@ -106,6 +132,10 @@ def make_train_step(opt_cfg, hidden_cfg, deform_cfg: D.DeformConfig,
                 hidden_cfg.l1_time_planes, hidden_cfg.plane_tv_weight)
         if use_ssim:
             loss = loss + opt_cfg.lambda_dssim * (1.0 - losses.ssim(color, gt))
+        if lpips_params is not None:
+            from . import lpips as LP
+            loss = loss + lambda_lpips * LP.lpips_distance(lpips_params,
+                                                           color, gt)
         aux_out = (ll1, losses.psnr(color, gt), radii, overflow)
         return loss, aux_out
 
@@ -118,10 +148,10 @@ def make_train_step(opt_cfg, hidden_cfg, deform_cfg: D.DeformConfig,
         C = state.gauss.capacity
         offset = jnp.zeros((nb, C, 2), jnp.float32)
 
-        aabb = state.deform["grid"]["aabb"]
+        statics = _deform_statics(state.deform)
         (loss, (ll1, psnr, radii, overflow)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 6), has_aux=True)(
-            groups, aabb, state.gauss.aux, cams, gts, sh_degree, offset)
+            groups, statics, state.gauss.aux, cams, gts, sh_degree, offset)
         ggroups, goffset = grads
 
         # densification stats: viewspace grad in NDC units, max over batch
@@ -138,7 +168,7 @@ def make_train_step(opt_cfg, hidden_cfg, deform_cfg: D.DeformConfig,
         alive_mask = {g: row_mask for g in POINT_GROUPS}
         new_groups, new_adam = adam_step(groups, ggroups, state.adam, lrs,
                                          update_mask=alive_mask)
-        params, deform = _from_groups(new_groups, aabb)
+        params, deform = _from_groups(new_groups, statics)
         new_state = TrainState(
             gauss=G.GaussianState(params=params, aux=aux),
             deform=deform, adam=new_adam, rng=state.rng)

@@ -47,10 +47,14 @@ class MetricsLogger:
             self.tb.close()
 
 
-def evaluate(render_fn, cams, gts_uint8, every: int = 1, max_views: int = 8):
-    """L1/PSNR/SSIM over a camera subset (training_report's eval,
-    train_4DGS.py:362-391).  render_fn(index) -> (H, W, 3) in [0, 1]."""
-    idxs = list(range(0, len(cams), every))[:max_views]
+def evaluate(render_fn, cams, gts_uint8, every: int = 1,
+             max_views: int | None = None):
+    """L1/PSNR/SSIM over the test cameras (training_report's eval,
+    train_4DGS.py:362-391; full coverage by default).
+    render_fn(index) -> (H, W, 3) in [0, 1]."""
+    idxs = list(range(0, len(cams), every))
+    if max_views is not None:
+        idxs = idxs[:max_views]
     l1s, psnrs, ssims = [], [], []
     for i in idxs:
         img = jnp.clip(render_fn(i), 0.0, 1.0)

@@ -144,3 +144,99 @@ def test_deformation_matches_torch_through_state_dict():
     # opacity/shs pass through unchanged (no_do/no_dshs defaults)
     np.testing.assert_allclose(np.asarray(of), opac, atol=0)
     np.testing.assert_allclose(np.asarray(shf), shs, atol=0)
+
+
+def test_dense_grid_matches_torch_grid_sample():
+    """DenseGrid trilinear sampling vs the reference forward
+    (scene/grid.py:26-37): grid [1,C,*ws], ind_norm flipped, align_corners."""
+    from mom_tpu.models import grid as DG
+    rng = np.random.RandomState(4)
+    ws = (5, 6, 7)
+    params = DG.init_dense_grid(2, ws, bounds=1.6)
+    params["grid"] = jnp.asarray(rng.randn(2, *ws).astype(np.float32))
+    params = DG.set_aabb(params, [1.0, 2.0, 0.5], [-1.0, -0.5, -1.5])
+
+    pts = rng.uniform(-1.2, 1.8, (64, 3)).astype(np.float32)
+    ours = np.asarray(DG.dense_grid_sample(params, jnp.asarray(pts)))
+
+    g = torch.tensor(np.asarray(params["grid"]))[None]        # (1, C, X, Y, Z)
+    xyz = torch.tensor(pts).reshape(1, 1, 1, -1, 3)
+    mn = torch.tensor(np.asarray(params["xyz_min"]))
+    mx = torch.tensor(np.asarray(params["xyz_max"]))
+    ind = ((xyz - mn) / (mx - mn)).flip((-1,)) * 2 - 1
+    ref = F.grid_sample(g, ind, mode="bilinear", align_corners=True)
+    ref = ref.reshape(2, -1).T.numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_empty_voxel_mask_deform():
+    """empty_voxel=True: mask multiplies the BASE parameters
+    (scene/deformation.py:101-102, 113-116) and the DenseGrid joins the grid
+    optimizer group."""
+    h = C.ModelHiddenParams()
+    h.multires = [1, 2]
+    h.defor_depth = 0
+    h.empty_voxel = True
+    h.kplanes_config = {"grid_dimensions": 2, "input_coordinate_dim": 4,
+                        "output_coordinate_dim": 8,
+                        "resolution": [8, 8, 8, 5]}
+    cfg = pipeline.deform_config_from_hidden(h)
+    assert cfg.empty_voxel
+
+    params = D.init_deformation(jax.random.PRNGKey(5), cfg)
+    assert "empty_voxel" in params
+    params = D.set_deform_aabb(params, [1.0, 1.0, 1.0], [-1.0, -1.0, -1.0])
+    # a non-trivial mask grid
+    key = jax.random.PRNGKey(6)
+    params["empty_voxel"]["grid"] = (
+        params["empty_voxel"]["grid"]
+        + 0.5 * jax.random.normal(key, params["empty_voxel"]["grid"].shape))
+
+    # optimizer grouping: empty_voxel's grid parameter lands in the grid group
+    assert "empty_voxel" in D.grid_param_tree(params)
+    assert "empty_voxel" not in D.mlp_param_tree(params)
+
+    rng = np.random.RandomState(7)
+    n = 32
+    xyz = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    scales = rng.randn(n, 3).astype(np.float32)
+    rots = rng.randn(n, 4).astype(np.float32)
+    flow = rng.randn(n, 3).astype(np.float32) * 0.1
+    opac = rng.randn(n, 1).astype(np.float32)
+    shs = rng.randn(n, 16, 3).astype(np.float32)
+    times = rng.uniform(0, 1, n).astype(np.float32)
+
+    mf, sf, rf, of, shf = D.deform(params, cfg, jnp.asarray(xyz),
+                                   jnp.asarray(scales), jnp.asarray(rots),
+                                   jnp.asarray(opac), jnp.asarray(shs),
+                                   jnp.asarray(times), jnp.asarray(flow),
+                                   5.0, 1.0)
+
+    from mom_tpu.models import grid as DG
+    from mom_tpu.models import hexplane as HX2
+    mask = np.asarray(DG.dense_grid_sample(params["empty_voxel"],
+                                           jnp.asarray(xyz)))
+    # recompute the heads through the non-masked config to isolate the mask
+    cfg_plain = cfg._replace(empty_voxel=False)
+    mp, sp, rp, _, _ = D.deform(params, cfg_plain, jnp.asarray(xyz),
+                                jnp.asarray(scales), jnp.asarray(rots),
+                                jnp.asarray(opac), jnp.asarray(shs),
+                                jnp.asarray(times), jnp.asarray(flow),
+                                5.0, 1.0)
+    dx = np.asarray(mp) - xyz
+    ds = np.asarray(sp) - scales
+    np.testing.assert_allclose(np.asarray(mf), xyz * mask + dx, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sf), scales * mask + ds, atol=1e-5)
+    # rotations never use the mask (scene/deformation.py:126-135)
+    np.testing.assert_allclose(np.asarray(rf), np.asarray(rp), atol=0)
+
+    # state-dict round trip keeps the voxel grid
+    from mom_tpu.data.checkpoints import (deformation_to_torch_state,
+                                          deformation_from_torch_state)
+    sd = deformation_to_torch_state(params, cfg)
+    assert "deformation_net.empty_voxel.grid" in sd
+    back = deformation_from_torch_state(sd, D.init_deformation(
+        jax.random.PRNGKey(8), cfg))
+    np.testing.assert_allclose(np.asarray(back["empty_voxel"]["grid"]),
+                               np.asarray(params["empty_voxel"]["grid"]),
+                               atol=0)
