@@ -4,14 +4,16 @@ The reference uses ZoeDepth (ZoeD_N: metric-bins head over a MiDaS BEiT-L
 backbone, ZoeDepth/hubconf.py:33-111) downloaded via torch.hub.  This module
 provides the same interface with pluggable backends:
 
-- ``zoe``: a JAX port fed by converted checkpoint weights.  The full BEiT/DPT
-  port lands in a later round; if a checkpoint is supplied before then we
-  fail with a clear message rather than guessing.
+- ``zoe``: the full JAX port (motion/zoe: BEiT-L + DPT decoder +
+  metric-bins head, pad/flip augmented inference).  Weights convert from
+  either the released ZoeD_M12_N.pt or a transformers DPT-BEiT checkpoint
+  (zoe/convert.py); without a checkpoint the architecture runs with
+  deterministic random weights (this machine has no egress).
 - ``procedural`` (default fallback): a landscape depth prior — ground-plane
   depth increasing toward the horizon, sky pushed to the far plane, modulated
-  by a luminance cue and edge-aware smoothing.  Zero-weight default so the
-  full pipeline runs in a hermetic environment (this machine has no egress to
-  fetch ZoeDepth weights, and the reference itself cannot run offline).
+  by a luminance cue and edge-aware smoothing.  Stays the weightless default
+  because random-weight ZoeDepth produces less plausible landscape geometry
+  than the prior; pass a checkpoint (or backend='zoe') to switch.
 
 Outputs metric depth in meters, scaled so the center crop sits near the
 reference's typical hemisphere pivot (train_motion.py:40-41).
@@ -33,15 +35,24 @@ class DepthEstimator:
                 else "procedural"
         self.backend = backend
         self.ckpt_path = ckpt_path
+        self._zoe = None
         if backend == "zoe":
-            raise NotImplementedError(
-                "ZoeDepth JAX port is scheduled for a later round; "
-                "use backend='procedural' (no checkpoint needed).")
+            from .zoe import ZoeConfig, init_zoedepth
+            if ckpt_path and os.path.exists(ckpt_path):
+                from .zoe.convert import load_zoedepth
+                self._zoe = load_zoedepth(ckpt_path)
+            else:
+                cfg = ZoeConfig()
+                self._zoe = (init_zoedepth(jax.random.PRNGKey(0), cfg), cfg)
 
     def infer(self, image: np.ndarray) -> np.ndarray:
         """image (H, W, 3) float in [0,1] or uint8 -> depth (H, W) float32."""
         if image.dtype == np.uint8:
             image = image.astype(np.float32) / 255.0
+        if self.backend == "zoe":
+            from .zoe import infer_depth
+            params, cfg = self._zoe
+            return infer_depth(params, cfg, image)
         return np.asarray(procedural_depth(jnp.asarray(image)))
 
 

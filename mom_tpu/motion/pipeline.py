@@ -43,7 +43,8 @@ def read_hints_json(file_path: str):
 
 class MotionOptimization:
     def __init__(self, src_img, pcdgenpath: str = "lookaround",
-                 depth_backend: str = "auto", flow_backend: str = "hints"):
+                 depth_backend: str = "auto", flow_backend: str = "hints",
+                 depth_ckpt: str | None = None, flow_ckpt: str | None = None):
         from PIL import Image
         if isinstance(src_img, Image.Image):
             self.src_arr = np.asarray(src_img.convert("RGB"))
@@ -52,8 +53,8 @@ class MotionOptimization:
         H, W = self.src_arr.shape[:2]
         self.cam = pcd_mod.camera_model(W, H)
         self.W, self.H = W, H
-        self.depth_model = DepthEstimator(depth_backend)
-        self.flow_model = FlowEstimator(flow_backend)
+        self.depth_model = DepthEstimator(depth_backend, depth_ckpt)
+        self.flow_model = FlowEstimator(flow_backend, flow_ckpt)
         self.render_poses = get_pcd_gen_poses(pcdgenpath)
         self.src_depth = self.depth_model.infer(self.src_arr)
         self.center_depth = float(np.mean(

@@ -46,11 +46,17 @@ def conv2d(p: dict, x: jnp.ndarray, stride: int = 1, padding=0,
 
 
 def conv_transpose2d(p: dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """torch ConvTranspose2d(kernel_size=stride, stride=stride, padding=0)
-    equivalent.  p["w"]: (kh, kw, in, out) in OUR layout (converted from
-    torch's (in, out, kh, kw))."""
-    y = jax.lax.conv_transpose(
-        x, p["w"], strides=(stride, stride), padding="VALID",
+    """Transposed conv with padding=0: input dilated by ``stride``, padded by
+    (k-1), then CORRELATED with p["w"] (kh, kw, in, out).
+
+    torch ConvTranspose2d equivalence: torch applies its (in, out, kh, kw)
+    kernel spatially FLIPPED relative to this correlation, so the converter
+    must store w = flip(torch_w.transpose(2, 3, 0, 1), axes=(0, 1))."""
+    kh, kw = p["w"].shape[:2]
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1, 1),
+        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+        lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "b" in p and p["b"] is not None:
         y = y + p["b"]

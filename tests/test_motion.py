@@ -143,10 +143,10 @@ def test_scene_flow_recovers_translation():
 def test_hint_densification_and_smoothing():
     mask = np.zeros((32, 32), np.float32)
     mask[16:, :] = 1.0
-    dense = densify_hints(np.array([[8.0, 24.0]]), np.array([[8.0, 30.0]]),
-                          mask, 32, 32, n_frames=6.0)
+    dense = densify_hints(np.array([[8.0, 24.0]]), np.array([[8.0, 80.0]]),
+                          mask, 32, 32)
     d = np.asarray(dense)
-    assert d[24, 8, 1] > 0.5            # +y motion at the hint
+    assert d[24, 8, 1] > 0.5            # +y motion at the hint ((80-24)/50)
     assert np.all(d[:16] == 0)          # masked out above
     sm = np.asarray(smooth_and_mask_flow(dense, jnp.asarray(mask)))
     assert np.all(sm[:16] == 0)
@@ -200,3 +200,54 @@ def test_stage1_to_stage2_handoff(tmp_path):
     assert scene.point_cloud.points.shape == (W * H, 3)
     assert scene.scene_flow.shape == (W * H, 3)
     assert scene.cameras_extent > 0
+
+
+def test_densify_hints_matches_reference_math():
+    """Exact port check vs generate_mask_hints_from_user's densification
+    (demo.py:78-97) re-implemented with torch ops."""
+    import torch
+    height = width = 40
+    mask = np.zeros((height, width), np.float32)
+    mask[10:, :] = 1.0
+    hs = np.array([[5.0, 15.0], [30.0, 30.0]], np.float32)
+    he = np.array([[5.0, 65.0], [20.0, 30.0]], np.float32)
+    seed = 3
+    dense = np.asarray(densify_hints(hs, he, mask, height, width,
+                                     rng=np.random.RandomState(seed)))
+
+    # torch replica
+    rng = np.random.RandomState(seed)
+    m = len(hs)
+    sigma = float(rng.randint(height // (2 * m), int(height // (m / 2))))
+    hint_motion = torch.tensor((he - hs).T[None] / 50.0)
+    xs = torch.linspace(0, width - 1, width).view(1, 1, width).repeat(1, height, 1)
+    ys = torch.linspace(0, height - 1, height).view(1, height, 1).repeat(1, 1, width)
+    xys = torch.cat((xs, ys), 1).view(2, -1)
+    num = torch.zeros(1, 2, height * width)
+    den = torch.zeros(1, 2, height * width)
+    for k in range(m):
+        hx, hy = int(hs[k][0]), int(hs[k][1])
+        dist = ((xys - xys.view(2, height, width)[:, hy, hx].unsqueeze(1)) ** 2).sum(0, True).sqrt()
+        w = (-(dist / sigma) ** 2).exp().unsqueeze(0)
+        num += w * hint_motion[:, :, k].unsqueeze(2)
+        den += w
+    den[den == 0.0] = 1.0
+    ref = (num / den).view(1, 2, height, width) * torch.tensor(mask).bool()
+    ref = ref[0].permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(dense, ref, atol=1e-5)
+
+
+def test_spade_flow_backend_end_to_end():
+    """FlowEstimator(backend='spade') with random weights: full 768^2
+    pre/post-processing path produces a masked native-res flow."""
+    from mom_tpu.motion.flow import FlowEstimator
+    est = FlowEstimator(backend="spade")
+    H, W = 96, 128
+    img = np.random.RandomState(0).rand(H, W, 3).astype(np.float32)
+    mask = np.zeros((H, W), np.float32)
+    mask[H // 2:, :] = 1.0
+    flow = est.estimate(img, mask, [[10.0, 80.0]], [[10.0, 120.0]], seed=1)
+    assert flow.shape == (1, 2, H, W)
+    assert np.isfinite(flow).all()
+    # flow vanishes far outside the (area-downsampled, re-upsampled) mask
+    assert np.abs(flow[0, :, :H // 4]).max() < np.abs(flow).max() * 0.2

@@ -28,7 +28,9 @@ def main(argv=None):
     parser.add_argument("--n_frames", type=int, default=120,
                         help="looping video length (StyleCineGAN option.py:35)")
     parser.add_argument("--depth_backend", type=str, default="auto")
-    parser.add_argument("--flow_backend", type=str, default="hints")
+    parser.add_argument("--flow_backend", type=str, default="auto",
+                        help="auto|spade|hints — auto uses the SPADE-UNet "
+                             "port when sceneflow_model.pth exists")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     import numpy as np
@@ -46,8 +48,13 @@ def main(argv=None):
                                        "mask.png"))
     hints = read_hints_json(os.path.join(args.input_dir, "image.json"))
 
-    mom = MotionOptimization(src_img, depth_backend=args.depth_backend,
-                             flow_backend=args.flow_backend)
+    flow_ckpt = os.path.join(args.cinema_ckpt, "sceneflow_model.pth")
+    depth_ckpt = os.path.join(args.cinema_ckpt, "ZoeD_M12_N.pt")
+    mom = MotionOptimization(
+        src_img, depth_backend=args.depth_backend,
+        flow_backend=args.flow_backend,
+        depth_ckpt=depth_ckpt if os.path.exists(depth_ckpt) else None,
+        flow_ckpt=flow_ckpt if os.path.exists(flow_ckpt) else None)
     mask_arr = np.asarray(src_mask.convert("L"))
     train_data, none_idx = mom.render_pcd(mask_arr, hints)
     print(f"rendered {len(train_data['frames'])} views "
