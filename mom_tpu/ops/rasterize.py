@@ -90,8 +90,9 @@ class Binning(NamedTuple):
     overflow: jnp.ndarray      # () int32 — instances dropped by key_cap
 
 
-def padded_cap(key_cap: int, width: int, height: int) -> int:
-    geom = _geom(width, height)
+def padded_cap(key_cap: int, width: int, height: int,
+               row_tiles=None) -> int:
+    geom = _geom(width, height, row_tiles)
     return key_cap + geom.grid_x * geom.grid_y * CHUNK
 
 
@@ -133,7 +134,7 @@ def _gather_packed_rows(cols: list, seg: jnp.ndarray) -> list:
 
 
 def bin_gaussians(pre: Preprocessed, width: int, height: int,
-                  key_cap: int) -> Binning:
+                  key_cap: int, row_tiles=None) -> Binning:
     """Exact duplicate-key expansion with a static capacity.
 
     Instead of scattering duplicated keys one by one (cub-style), segment
@@ -143,13 +144,20 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     a CHUNK-aligned segment (same scatter+scan trick) so the compositing
     kernel's DMA offsets are provably 128-aligned and tiles never share a
     chunk (programs are trivially parallelizable)."""
-    grid_x = (width + TILE - 1) // TILE
-    grid_y = (height + TILE - 1) // TILE
+    geom = _geom(width, height, row_tiles)
+    grid_x, grid_y = geom.grid_x, geom.grid_y
     num_tiles = grid_x * grid_y
     P = pre.depths.shape[0]
 
     alive = pre.valid & (pre.radii > 0)
     rmn, rmx = tile_rect(pre.means2d, pre.radii, width, height)
+    # image-row sharding: clamp each rect to this shard's tile-row band and
+    # work in band-local tile rows
+    ty0 = geom.row0
+    mny = jnp.clip(rmn[:, 1], ty0, ty0 + grid_y) - ty0
+    mxy = jnp.clip(rmx[:, 1], ty0, ty0 + grid_y) - ty0
+    rmn = jnp.stack([rmn[:, 0], mny], axis=1)
+    rmx = jnp.stack([rmx[:, 0], mxy], axis=1)
     rw = (rmx[:, 0] - rmn[:, 0]).astype(jnp.int32)
     rh = (rmx[:, 1] - rmn[:, 1]).astype(jnp.int32)
     areas = jnp.where(alive, rw * rh, 0).astype(jnp.int32)
@@ -187,7 +195,7 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     pstarts_inc = jnp.cumsum(padded)
     pstarts = pstarts_inc - padded
 
-    pcap = padded_cap(key_cap, width, height)
+    pcap = key_cap + num_tiles * CHUNK
     u_f = _segment_ids(pstarts, padded, pcap)
     # the per-tile tables are tiny (num_tiles entries) — scalar gathers fine
     sr_f = starts_raw[u_f]
@@ -274,12 +282,16 @@ class _TileGeom(NamedTuple):
     grid_y: int
     hpad: int
     wpad: int
+    row0: int = 0          # first tile row (global) — image-row sharding
 
 
-def _geom(width: int, height: int) -> _TileGeom:
+def _geom(width: int, height: int, row_tiles=None) -> _TileGeom:
     gx = (width + TILE - 1) // TILE
-    gy = (height + TILE - 1) // TILE
-    return _TileGeom(grid_x=gx, grid_y=gy, hpad=gy * TILE, wpad=gx * TILE)
+    gy_full = (height + TILE - 1) // TILE
+    ty0, ty1 = (0, gy_full) if row_tiles is None else row_tiles
+    gy = ty1 - ty0
+    return _TileGeom(grid_x=gx, grid_y=gy, hpad=gy * TILE, wpad=gx * TILE,
+                     row0=ty0)
 
 
 def tiles_to_image(x: jnp.ndarray, geom: _TileGeom) -> jnp.ndarray:
@@ -307,6 +319,7 @@ def _forward_kernel(geom: _TileGeom):
     buffering for free); transmittance carries across a tile's consecutive
     chunks in persistent VMEM scratch; early-exited chunks skip compute."""
     gx = geom.grid_x
+    row0 = geom.row0
 
     def kernel(ct_ref, ts_ref, te_ref, feat_blk, acc_out, logt_out,
                logt_ref):
@@ -325,8 +338,8 @@ def _forward_kernel(geom: _TileGeom):
 
         @pl.when(jnp.logical_and(jnp.logical_not(done), n > 0))
         def _():
-            ty = t // gx
-            tx = t - ty * gx
+            ty = t // gx + row0
+            tx = t - (t // gx) * gx
             pix = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
             px = (tx * TILE + pix % TILE).astype(jnp.float32)   # [256, 1]
             py = (ty * TILE + pix // TILE).astype(jnp.float32)
@@ -374,6 +387,7 @@ def _backward_kernel(geom: _TileGeom):
       then the alpha -> (power, opacity) -> (conic, mean2d) chain.
     """
     gx = geom.grid_x
+    row0 = geom.row0
 
     def kernel(ct_ref, ts_ref, te_ref, feat_blk, g4_in, stotal_in, glogt_in,
                gfeat_out, logt_ref, pref_ref):
@@ -393,8 +407,8 @@ def _backward_kernel(geom: _TileGeom):
 
         @pl.when(active)
         def _():
-            ty = t // gx
-            tx = t - ty * gx
+            ty = t // gx + row0
+            tx = t - (t // gx) * gx
             pix = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
             px = (tx * TILE + pix % TILE).astype(jnp.float32)
             py = (ty * TILE + pix // TILE).astype(jnp.float32)
@@ -465,13 +479,16 @@ def _backward_kernel(geom: _TileGeom):
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _composite(feat, chunk_tile, starts, ends, slot_valid, width, height):
-    return _composite_fwd_impl(feat, chunk_tile, starts, ends, width, height)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _composite(feat, chunk_tile, starts, ends, slot_valid, width, height,
+               row_tiles=None):
+    return _composite_fwd_impl(feat, chunk_tile, starts, ends, width, height,
+                               row_tiles)
 
 
-def _composite_fwd_impl(feat, chunk_tile, starts, ends, width, height):
-    geom = _geom(width, height)
+def _composite_fwd_impl(feat, chunk_tile, starts, ends, width, height,
+                        row_tiles=None):
+    geom = _geom(width, height, row_tiles)
     num_tiles = geom.grid_x * geom.grid_y
     n_chunks = feat.shape[1] // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -500,16 +517,17 @@ def _composite_fwd_impl(feat, chunk_tile, starts, ends, width, height):
     return acc, logt
 
 
-def _composite_fwd(feat, chunk_tile, starts, ends, slot_valid, width, height):
+def _composite_fwd(feat, chunk_tile, starts, ends, slot_valid, width,
+                   height, row_tiles=None):
     acc, logt = _composite_fwd_impl(feat, chunk_tile, starts, ends, width,
-                                    height)
+                                    height, row_tiles)
     return (acc, logt), (feat, chunk_tile, starts, ends, slot_valid, acc)
 
 
-def _composite_bwd(width, height, res, cts):
+def _composite_bwd(width, height, row_tiles, res, cts):
     feat, chunk_tile, starts, ends, slot_valid, acc = res
     g_acc, g_logt = cts
-    geom = _geom(width, height)
+    geom = _geom(width, height, row_tiles)
     n_chunks = feat.shape[1] // CHUNK
     s_total = jnp.sum(g_acc * acc, axis=-1, keepdims=True)   # (T, 256, 1)
 
@@ -563,8 +581,14 @@ def rasterize_tiled(means3d, scales, rotations, opacities, shs,
                     width: int, height: int, bg,
                     active_sh_degree=3, scale_modifier: float = 1.0,
                     colors_precomp=None, means2d_offset=None,
-                    alive_mask=None, key_cap: int | None = None) -> TiledRenderOutput:
-    """Drop-in equivalent of rasterize_reference with the Pallas fast path."""
+                    alive_mask=None, key_cap: int | None = None,
+                    row_tiles: tuple | None = None) -> TiledRenderOutput:
+    """Drop-in equivalent of rasterize_reference with the Pallas fast path.
+
+    ``row_tiles=(ty0, ty1)`` composites only the tile rows
+    [ty0*16, ty1*16) — the image-sharded path for point-sharded multi-chip
+    rendering (each device renders its row band of the globally gathered
+    gaussians); outputs then cover that band only."""
     pre = preprocess(means3d, scales, rotations, opacities, shs,
                      viewmatrix, projmatrix, campos, tanfovx, tanfovy,
                      width, height, active_sh_degree, scale_modifier,
@@ -572,16 +596,29 @@ def rasterize_tiled(means3d, scales, rotations, opacities, shs,
                      means2d_offset=means2d_offset, alive_mask=alive_mask)
     if key_cap is None:
         key_cap = default_key_cap(means3d.shape[0])
+    return rasterize_preprocessed(pre, width, height, bg, key_cap,
+                                  row_tiles=row_tiles)
 
+
+def rasterize_preprocessed(pre: Preprocessed, width: int, height: int, bg,
+                           key_cap: int,
+                           row_tiles: tuple | None = None
+                           ) -> TiledRenderOutput:
+    """Binning + compositing over an already-preprocessed SoA — the entry
+    point for point-sharded multi-chip rendering, where each device
+    all-gathers the (cheap, ~11 floats/point) preprocessed arrays and
+    composites its own image shard (SURVEY.md §2.5)."""
     binning = bin_gaussians(jax.tree.map(jax.lax.stop_gradient, pre),
-                            width, height, key_cap)
+                            width, height, key_cap, row_tiles=row_tiles)
     feat = _pack_features(pre, binning, key_cap)
     acc_t, logt_t = _composite(feat, binning.chunk_tile, binning.tile_starts,
                                binning.tile_ends, binning.slot_valid,
-                               width, height)
-    geom = _geom(width, height)
-    acc = tiles_to_image(acc_t, geom)[:height, :width]
-    logt = tiles_to_image(logt_t, geom)[:height, :width, 0]
+                               width, height, row_tiles)
+    geom = _geom(width, height, row_tiles)
+    band_h = height - geom.row0 * TILE if row_tiles is None else \
+        min(height - geom.row0 * TILE, geom.grid_y * TILE)
+    acc = tiles_to_image(acc_t, geom)[:band_h, :width]
+    logt = tiles_to_image(logt_t, geom)[:band_h, :width, 0]
     final_T = jnp.exp(logt)
     color = acc[..., :3] + final_T[..., None] * jnp.asarray(bg, acc.dtype)
     return TiledRenderOutput(color=color, depth=acc[..., 3], final_T=final_T,

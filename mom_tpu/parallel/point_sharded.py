@@ -1,0 +1,225 @@
+"""Point-sharded multi-chip training (tensor parallelism over gaussians).
+
+Data parallelism (data_parallel.py) replicates the model and shards views —
+it caps the point count at one chip's HBM and caps the batch at n_devices.
+This module shards the MODEL: gaussian parameters, their Adam moments and
+the densification stats live split along the point axis across a 1D
+("points",) mesh (SURVEY.md §2.5's design sketch).
+
+Per step, inside shard_map:
+  1. deformation + activations + screen-space preprocess run on the LOCAL
+     point shard (embarrassingly parallel)
+  2. one all_gather over ICI moves the preprocessed SoA (~11 floats/point —
+     5x cheaper than gathering raw parameters) to every device
+  3. each device bins and composites ITS image row band: the preprocessed
+     y-coordinates are shifted by the band origin, so the rasterizer renders
+     rows [band0, band0 + band_h) of the global image as a local viewport
+     (identical SPMD program on every device — no device-dependent shapes)
+  4. the L1 partial sums psum into the global loss; autodiff routes band
+     gradients back through the all_gather (its transpose is a
+     reduce-scatter), landing exactly on each device's point shard
+  5. point-group Adam updates run on local shards; the replicated
+     deformation/grid groups update from psum'ed gradients
+
+The gradient stream therefore rides ICI twice per step (gather forward,
+reduce-scatter backward) with no DCN involvement.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import gaussians as G
+from ..models import deformation as D
+from ..models.hexplane import grid_regularization
+from ..ops.preprocess import preprocess, Preprocessed
+from ..ops.rasterize import rasterize_preprocessed, TILE
+from ..train import losses
+from ..train.loop import (TrainState, _params_by_group, _from_groups,
+                          _deform_statics)
+from ..train.optim import group_lrs, adam_step, POINT_GROUPS
+
+AXIS = "points"
+
+
+def make_points_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place the TrainState on the mesh: per-point leading axes sharded on
+    AXIS, everything else replicated.  Capacity must divide the mesh size
+    (pick_capacity rounds to 1024, so any power-of-two mesh works)."""
+    n = mesh.devices.size
+    cap = state.gauss.capacity
+    assert cap % n == 0, (cap, n)
+
+    def spec_for(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == cap:
+            return NamedSharding(mesh, P(AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, spec_for(x)), state)
+
+
+def make_ps_train_step(mesh: Mesh, opt_cfg, hidden_cfg,
+                       deform_cfg: D.DeformConfig, width: int, height: int,
+                       stage: str, spatial_lr_scale: float, bg,
+                       key_cap: int):
+    """Jitted point-sharded step for ONE camera per iteration.  GT images
+    arrive row-sharded: gts (hpad, W, 3) with hpad = n_dev * band_h."""
+    n_dev = mesh.devices.size
+    bgj = jnp.asarray(bg, jnp.float32)
+    gy = (height + TILE - 1) // TILE
+    band_ty = (gy + n_dev - 1) // n_dev          # tile rows per device
+    band_h = band_ty * TILE
+    hpad = band_h * n_dev
+    use_tv = stage == "fine" and hidden_cfg.time_smoothness_weight != 0
+    use_ssim = opt_cfg.lambda_dssim != 0
+    # per-shard instance budget: each device only bins its band
+    local_cap = max((key_cap // n_dev + 127) // 128 * 128, 1024)
+
+    def local_loss(groups, statics, aux, cam, gt_band, sh_degree, offset,
+                   band0):
+        params, deform = _from_groups(groups, statics)
+        means3d = params.xyz
+        shs = G.get_features(params)
+        if stage == "coarse":
+            means_f, scales_f, rot_f, opac_f, shs_f = (
+                means3d, params.scaling, params.rotation, params.opacity,
+                shs)
+        else:
+            nloc = means3d.shape[0]
+            times = jnp.broadcast_to(cam["time"], (nloc,))
+            means_f, scales_f, rot_f, opac_f, shs_f = D.deform(
+                deform, deform_cfg, means3d, params.scaling, params.rotation,
+                params.opacity, shs, times, aux.scene_flow,
+                cam["frame_num"], 1.0)
+        scales_act = jnp.exp(scales_f)
+        rot_act = rot_f / jnp.maximum(
+            jnp.linalg.norm(rot_f, axis=-1, keepdims=True), 1e-12)
+        opac_act = jax.nn.sigmoid(opac_f)
+
+        pre_local = preprocess(
+            means_f, scales_act, rot_act, opac_act[:, 0], shs_f,
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+            cam["tanfovx"], cam["tanfovy"], width, height,
+            sh_degree, 1.0, means2d_offset=offset, alive_mask=aux.alive)
+
+        # ICI: gather the compact screen-space SoA; grads reduce-scatter back
+        pre_full = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, AXIS, tiled=True), pre_local)
+
+        # shift into this device's band viewport (identical SPMD program)
+        shifted = pre_full._replace(means2d=pre_full.means2d.at[:, 1].add(
+            -band0.astype(jnp.float32)))
+        out = rasterize_preprocessed(shifted, width, band_h, bgj, local_cap)
+
+        gtf = gt_band.astype(jnp.float32) / 255.0
+        rows = band0 + jnp.arange(band_h)
+        rmask = (rows < height).astype(jnp.float32)[:, None, None]
+        abs_sum = jax.lax.psum(
+            jnp.sum(jnp.abs(out.color - gtf) * rmask), AXIS)
+        n_px = jax.lax.psum(jnp.sum(rmask) * 3.0, AXIS)
+        ll1 = abs_sum / n_px
+        loss = ll1
+        if use_tv:
+            loss = loss + grid_regularization(
+                deform["grid"], hidden_cfg.time_smoothness_weight,
+                hidden_cfg.l1_time_planes, hidden_cfg.plane_tv_weight)
+        if use_ssim:
+            # band-local SSIM mean (window never crosses band seams in the
+            # reference metric's 11px window only approximately — documented
+            # deviation of the sharded loss)
+            loss = loss + opt_cfg.lambda_dssim * (
+                1.0 - jax.lax.pmean(losses.ssim(out.color * rmask,
+                                                gtf * rmask), AXIS))
+        mse = jax.lax.psum(jnp.sum(((out.color - gtf) * rmask) ** 2),
+                           AXIS) / n_px
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+        return loss, (ll1, psnr, pre_local.radii, out.overflow)
+
+    def sharded_step(state: TrainState, cam: dict, gts: jnp.ndarray,
+                     iteration, sh_degree):
+        groups = _params_by_group(state.gauss.params, state.deform)
+        statics = _deform_statics(state.deform)
+        cap_local = state.gauss.params.xyz.shape[0]
+        offset = jnp.zeros((cap_local, 2), jnp.float32)
+        band0 = jax.lax.axis_index(AXIS) * band_h
+
+        (loss, (ll1, psnr, radii, overflow)), grads = jax.value_and_grad(
+            local_loss, argnums=(0, 6), has_aux=True)(
+            groups, statics, state.gauss.aux, cam, gts, sh_degree, offset,
+            band0)
+        ggroups, goffset = grads
+
+        # replicated groups: average the per-device grads; point groups are
+        # already exact local shards from the reduce-scatter
+        for gname in ("deformation", "grid"):
+            ggroups[gname] = jax.tree.map(
+                lambda g: jax.lax.pmean(g, AXIS), ggroups[gname])
+
+        grad_ndc = goffset * jnp.array([width * 0.5, height * 0.5])
+        aux = G.add_densification_stats(state.gauss.aux, grad_ndc, radii)
+
+        lrs = group_lrs(opt_cfg, spatial_lr_scale, iteration)
+        alive_mask = {g: aux.alive for g in POINT_GROUPS}
+        new_groups, new_adam = adam_step(groups, ggroups, state.adam, lrs,
+                                         update_mask=alive_mask)
+        params, deform = _from_groups(new_groups, statics)
+        new_state = TrainState(
+            gauss=G.GaussianState(params=params, aux=aux),
+            deform=deform, adam=new_adam, rng=state.rng)
+        metrics = {"loss": loss, "l1": ll1, "psnr": psnr,
+                   "points": jax.lax.psum(jnp.sum(aux.alive), AXIS),
+                   "overflow": jax.lax.pmax(overflow, AXIS)}
+        return new_state, metrics
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    pt = P(AXIS)
+    rep = P()
+
+    def state_specs(state: TrainState):
+        cap = state.gauss.capacity
+
+        def spec(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+                return pt
+            return rep
+        return jax.tree.map(spec, state)
+
+    def build(state_template: TrainState):
+        in_specs = (state_specs(state_template), rep, P(AXIS), rep, rep)
+        out_specs = (state_specs(state_template), rep)
+        kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        try:
+            smapped = shard_map(sharded_step, check_vma=False, **kwargs)
+        except TypeError:
+            smapped = shard_map(sharded_step, check_rep=False, **kwargs)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, cam, gts, iteration, sh_degree):
+            return smapped(state, cam, gts, iteration, sh_degree)
+        return step
+
+    return build, band_h, hpad
+
+
+def pad_gt_rows(gt: np.ndarray, hpad: int) -> np.ndarray:
+    """(H, W, 3) uint8 -> (hpad, W, 3) for row-sharding."""
+    out = np.zeros((hpad,) + gt.shape[1:], gt.dtype)
+    out[:gt.shape[0]] = gt
+    return out

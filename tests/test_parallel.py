@@ -88,3 +88,46 @@ def test_dp_fine_stage_with_deformation():
                           jnp.asarray(1.0, jnp.float32),
                           jnp.asarray(0, jnp.int32))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_point_sharded_step_runs_and_learns():
+    """Point-sharded (tensor-parallel) step over the 8 virtual devices:
+    params sharded on the point axis, image row-sharded compositing, grads
+    via all_gather/reduce-scatter."""
+    from mom_tpu.parallel.point_sharded import (make_points_mesh,
+                                                make_ps_train_step,
+                                                shard_state, pad_gt_rows)
+    state, dcfg = _toy_state(n=64, capacity=128)
+    W = H = 64                     # 4 tile rows -> bands of 1 tile row per device
+    opt = C.OptimizationParams()
+    hidden = C.ModelHiddenParams()
+    packed, gts = _cams_and_gts(2, W, H, state, dcfg)
+
+    key = jax.random.PRNGKey(0)
+    pert = state.gauss.params._replace(
+        features_dc=state.gauss.params.features_dc
+        + 0.3 * jax.random.normal(key, state.gauss.params.features_dc.shape))
+    state = state._replace(gauss=state.gauss._replace(params=pert))
+
+    mesh = make_points_mesh(4)     # 4 devices x 1 tile row each
+    build, band_h, hpad = make_ps_train_step(
+        mesh, opt, hidden, dcfg, W, H, "coarse", spatial_lr_scale=3.0,
+        bg=(0, 0, 0), key_cap=4096)
+    assert band_h * 4 == hpad >= H
+    step = build(state)
+    state = shard_state(state, mesh)
+
+    first = None
+    for it in range(1, 13):
+        vi = it % 2
+        cam = {k: jnp.asarray(v[vi]) for k, v in packed.items()}
+        gt = jnp.asarray(pad_gt_rows(gts[vi], hpad))
+        state, metrics = step(state, cam, gt,
+                              jnp.asarray(it, jnp.float32),
+                              jnp.asarray(0, jnp.int32))
+        if first is None:
+            first = float(metrics["loss"])
+        assert int(metrics["overflow"]) == 0
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < first * 0.9, (first, last)

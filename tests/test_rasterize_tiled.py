@@ -117,3 +117,37 @@ def test_overflow_gradients_stay_finite():
     grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*params)
     for g in grads:
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_row_band_rendering_matches_full():
+    """row_tiles sharding: stitching per-band renders == the full render
+    (the image-sharded path of point-sharded multi-chip rendering)."""
+    cam, params = make_scene(n=300, width=64, height=64, seed=5)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    kwargs = _args(cam, params, bg=bg, key_cap=4096)
+    full = rasterize_tiled(**kwargs)
+    bands = []
+    for ty0, ty1 in ((0, 2), (2, 4)):
+        out = rasterize_tiled(**kwargs, row_tiles=(ty0, ty1))
+        assert out.color.shape == (32, 64, 3)
+        bands.append(np.asarray(out.color))
+    stitched = np.concatenate(bands, axis=0)
+    np.testing.assert_allclose(stitched, np.asarray(full.color), atol=1e-5)
+
+    # gradients through a band == the same-rows slice of the full gradient
+    means, scales, q, opac, shs = params
+
+    def loss_full(op):
+        kw = _args(cam, (means, scales, q, op, shs), bg=bg, key_cap=4096)
+        return jnp.sum(rasterize_tiled(**kw).color[:32])
+
+    def loss_band(op):
+        kw = _args(cam, (means, scales, q, op, shs), bg=bg, key_cap=4096,
+                   row_tiles=(0, 2))
+        return jnp.sum(rasterize_tiled(**kw).color)
+
+    g_full = np.asarray(jax.grad(loss_full)(opac))
+    g_band = np.asarray(jax.grad(loss_band)(opac))
+    # segment-sum accumulation order differs (full reduces both bands'
+    # instance grads; the off-band ones are exact zeros only in real math)
+    np.testing.assert_allclose(g_band, g_full, atol=1e-4)

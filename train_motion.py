@@ -31,6 +31,10 @@ def main(argv=None):
     parser.add_argument("--flow_backend", type=str, default="auto",
                         help="auto|spade|hints — auto uses the SPADE-UNet "
                              "port when sceneflow_model.pth exists")
+    parser.add_argument("--video_backend", type=str, default="auto",
+                        help="auto|stylegan|pixel — auto uses the StyleGAN2 "
+                             "feature-warping port when sg2-lhq-1024.pt "
+                             "exists")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     import numpy as np
@@ -65,13 +69,20 @@ def main(argv=None):
     # the reference writes this duplicate first (train_motion.py:454)
     torch.save(train_data, os.path.join(mom_dir, "tran_data.pth"))
 
-    # looping cinemagraph from the source view + its estimated flow
+    # looping cinemagraph from the center view + its optimized dense flow
+    # (main_jih.py:27-40 uses frames[center]['our_flow'])
     src_rgb = np.asarray(src_img.convert("RGB"), np.float32) / 255.0
-    center_flow = np.asarray(
-        train_data["frames"][2]["T2C_flow"][0])[0].transpose(1, 2, 0)
+    center = train_data["frames"][2]
+    flow_key = "our_flow" if center.get("our_flow") else "T2C_flow"
+    center_flow = np.asarray(center[flow_key][0])[0].transpose(1, 2, 0)
     fluid_mask = (mask_arr > 0).astype(np.float32)
+    sg2_ckpt = os.path.join(args.cinema_ckpt,
+                            "stylegan2-pytorch", "sg2-lhq-1024.pt")
+    enc_ckpt = os.path.join(args.cinema_ckpt, "fs_encoder.pth")
     frames = generate_loop_frames(src_rgb, center_flow, fluid_mask,
-                                  n_frames=args.n_frames)
+                                  n_frames=args.n_frames,
+                                  backend=args.video_backend,
+                                  sg2_ckpt=sg2_ckpt, encoder_ckpt=enc_ckpt)
     save_video_frames(frames, mom_dir, mom.W, mom.H)
 
     viz_flow_dir(train_data, os.path.join(mom_dir, "Flow_viz"))
