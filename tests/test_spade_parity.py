@@ -21,7 +21,9 @@ def ref_arch():
     # the vendored package imports torchvision (not installed here) at
     # module level for unrelated perceptual-loss classes — stub it
     if "torchvision" not in sys.modules:
+        import importlib.machinery
         tv = types.ModuleType("torchvision")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
         tv.models = types.ModuleType("torchvision.models")
         tv.transforms = types.ModuleType("torchvision.transforms")
         sys.modules["torchvision"] = tv

@@ -234,7 +234,9 @@ def ref_fs_encoder(tmp_path_factory):
     fs_dir = f"{REF}/external_modules/feature_style_encoder"
     sys.path.insert(0, fs_dir)
     if "torchvision" not in sys.modules:
+        import importlib.machinery
         tv = types.ModuleType("torchvision")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
         tv.models = types.ModuleType("torchvision.models")
         tv.utils = types.ModuleType("torchvision.utils")
         sys.modules["torchvision"] = tv
