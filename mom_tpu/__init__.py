@@ -22,3 +22,15 @@ import jax as _jax
 # distance computations.  Hot paths that tolerate lower precision opt back
 # down explicitly.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# This machine's remote-TPU service can wedge indefinitely when serving
+# Mosaic (Pallas) programs through its compilation cache (reproducible:
+# identical kernels hang with the cache enabled, run in <1s with it
+# disabled).  Caching is disabled defensively; set MOM_TPU_COMPCACHE=1 to
+# re-enable on healthy installations.
+import os as _os
+if _os.environ.get("MOM_TPU_COMPCACHE") != "1":
+    try:
+        _jax.config.update("jax_enable_compilation_cache", False)
+    except Exception:
+        pass
