@@ -87,8 +87,10 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                          backend: str = "tiled", log_every: int = 100,
                          seed: int = 6666, key_cap: int | None = None,
                          progress=True, test_iterations=(), logger=None,
-                         render_process: bool = False, gui=None):
-    """One training stage (train_4DGS.py:48-301)."""
+                         render_process: bool = False, gui=None,
+                         first_iter: int = 0):
+    """One training stage (train_4DGS.py:48-301).  ``first_iter`` resumes
+    mid-stage (iteration-accurate restart for the stall watchdog)."""
     cams = stage_cameras(scene, stage)
     packed = pack_cameras(cams)
     gts = _gt_stack(cams)
@@ -131,7 +133,7 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     state = state._replace(adam=optim.init_adam(groups))
 
     num_alive = int(state.gauss.num_alive)
-    sh_degree = 0
+    sh_degree = min(first_iter // 1000, 3)
     metrics = None
     history = []
     # NaN-rewind baseline: snapshot the stage-entry state so a blow-up before
@@ -143,8 +145,11 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     # in-flight step but a NaN is caught within one iteration (the reference
     # checks every iteration, train_4DGS.py:224-226)
     pending_loss = None
+    # keep the viewpoint sampler's draw sequence aligned on resume
+    for _ in range(first_iter):
+        sampler.next()
 
-    for iteration in range(1, final_iter + 1):
+    for iteration in range(first_iter + 1, final_iter + 1):
         if iteration % 1000 == 0 and sh_degree < 3:
             sh_degree += 1
 

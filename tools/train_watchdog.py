@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Stall watchdog for long train_4DGS runs on a flaky device tunnel.
+
+This machine's remote-TPU service can wedge a client stream indefinitely
+(see mom_tpu/__init__.py's compilation-cache note).  The watchdog launches
+train_4DGS with periodic full-state checkpoints, monitors log progress, and
+on a stall kills the run and relaunches it from the newest checkpoint
+(iteration-accurate resume via --start_checkpoint).
+
+Usage:
+  python tools/train_watchdog.py --input_dir demo/scene_0 --expname full_r2 \
+      [--stall_sec 600] [--max_restarts 10] [--log /tmp/full_run.log] \
+      [-- extra train_4DGS args...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+
+
+def newest_checkpoint(model_path: str):
+    cands = glob.glob(os.path.join(model_path, "chkpnt_*_*.npz"))
+    best, best_key = None, (-1, -1)
+    for c in cands:
+        m = re.match(r"chkpnt_(coarse|fine)_(\d+)\.npz", os.path.basename(c))
+        if not m:
+            continue
+        key = (1 if m.group(1) == "fine" else 0, int(m.group(2)))
+        if key > best_key:
+            best, best_key = c, key
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input_dir", required=True)
+    ap.add_argument("--expname", default="full_r2")
+    ap.add_argument("--stall_sec", type=int, default=600)
+    ap.add_argument("--max_restarts", type=int, default=12)
+    ap.add_argument("--startup_grace_sec", type=int, default=1500,
+                    help="compile time allowance before the first log line")
+    ap.add_argument("--log", default="/tmp/train_watchdog_run.log")
+    ap.add_argument("--ckpt_every", type=int, default=1000)
+    args, extra = ap.parse_known_args()
+    if extra and extra[0] == "--":
+        extra = extra[1:]
+
+    model_path = os.path.join(args.input_dir, args.expname)
+    ckpts = [str(i) for i in range(args.ckpt_every, 20001, args.ckpt_every)]
+
+    restarts = 0
+    while restarts <= args.max_restarts:
+        cmd = [sys.executable, "train_4DGS.py",
+               "--input_dir", args.input_dir, "--expname", args.expname,
+               "--test_iterations", "3000", "7000", "14000", "20000",
+               "--checkpoint_iterations", *ckpts]
+        resume = newest_checkpoint(model_path)
+        if resume:
+            cmd += ["--start_checkpoint", resume]
+        cmd += extra
+        print(f"[watchdog] launch (restart {restarts}): {' '.join(cmd)}",
+              flush=True)
+        logf = open(args.log, "ab", buffering=0)
+        logf.write(f"\n===== watchdog launch {restarts} {time.ctime()}"
+                   f" resume={resume} =====\n".encode())
+        proc = subprocess.Popen(cmd, stdout=logf, stderr=subprocess.STDOUT,
+                                cwd=os.path.dirname(os.path.dirname(
+                                    os.path.abspath(__file__))))
+        start = time.time()
+        last_size = os.path.getsize(args.log)
+        last_change = time.time()
+        stalled = False
+        while True:
+            time.sleep(30)
+            rc = proc.poll()
+            if rc is not None:
+                break
+            size = os.path.getsize(args.log)
+            if size != last_size:
+                last_size = size
+                last_change = time.time()
+            allowance = (args.startup_grace_sec
+                         if time.time() - start < args.startup_grace_sec
+                         else args.stall_sec)
+            if time.time() - last_change > allowance:
+                print(f"[watchdog] STALL (> {allowance}s without log "
+                      "progress) — killing", flush=True)
+                proc.send_signal(signal.SIGKILL)
+                proc.wait()
+                stalled = True
+                break
+        logf.close()
+        if not stalled and proc.returncode == 0:
+            print("[watchdog] training completed", flush=True)
+            return 0
+        restarts += 1
+        time.sleep(60)          # let the tunnel drain before relaunching
+    print("[watchdog] giving up after max restarts", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

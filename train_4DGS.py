@@ -128,19 +128,25 @@ def main(argv=None):
         bg=bg, timer=timer, backend=args.backend, logger=logger,
         render_process=model_cfg.render_process, gui=gui)
 
+    resume_iter = int(extra.get("iteration", 0)) if start_ckpt else 0
     if not skip_coarse:
+        first_c = 0
         if resume_state is not None and "coarse" in os.path.basename(start_ckpt):
             state = resume_state
+            first_c = resume_iter
         state, hist_c = pipeline.scene_reconstruction(
             state, deform_cfg, scene, opt_cfg, hidden_cfg, None, "coarse",
-            opt_cfg.coarse_iterations, gaussian_path, **common)
+            opt_cfg.coarse_iterations, gaussian_path, first_iter=first_c,
+            **common)
+        first_f = 0
     else:
         print("start from fine stage, skip coarse stage.")
         if resume_state is not None:
             state = resume_state
+        first_f = resume_iter
     state, hist_f = pipeline.scene_reconstruction(
         state, deform_cfg, scene, opt_cfg, hidden_cfg, None, "fine",
-        opt_cfg.iterations, gaussian_path, **common)
+        opt_cfg.iterations, gaussian_path, first_iter=first_f, **common)
 
     logger.close()
     print(f"\nTraining complete. ({timer.get_elapsed_time():.1f}s train time)")
