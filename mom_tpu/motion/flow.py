@@ -97,7 +97,6 @@ def smooth_and_mask_flow(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 def _area_resize(x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
     """torch F.interpolate(mode='area') == adaptive average pooling."""
-    from ..nn.layers import _resample_matrix_linear
     H, W = x.shape[0], x.shape[1]
     th, tw = hw
 
