@@ -144,10 +144,30 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     # after the current step is dispatched, so the host never blocks on the
     # in-flight step but a NaN is caught within one iteration (the reference
     # checks every iteration, train_4DGS.py:224-226)
-    pending_loss = None
+    pending = []          # [(iteration, loss array)] awaiting readiness
     # keep the viewpoint sampler's draw sequence aligned on resume
     for _ in range(first_iter):
         sampler.next()
+
+    def _drain_pending(block: bool = False):
+        """Check completed losses WITHOUT blocking the dispatch pipeline
+        (arr.is_ready() polls); returns the iteration to rewind from, or
+        None.  The reference checks synchronously every iteration
+        (train_4DGS.py:224-226) — polling gives the same detection with
+        zero added device-sync latency (a few iterations of lag at most)."""
+        bad = None
+        while pending:
+            it0, arr = pending[0]
+            try:
+                ready = arr.is_ready()
+            except Exception:
+                ready = True
+            if not ready and not block:
+                break
+            if not math.isfinite(float(arr)):
+                bad = it0
+            pending.pop(0)
+        return bad
 
     for iteration in range(first_iter + 1, final_iter + 1):
         if iteration % 1000 == 0 and sh_degree < 3:
@@ -172,15 +192,16 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                               jnp.asarray(sh_degree, jnp.int32),
                               freeze_points=structural)
 
-        if pending_loss is not None and not math.isfinite(float(pending_loss)):
+        pending.append((iteration, metrics["loss"]))
+        bad_iter = _drain_pending()
+        if bad_iter is not None:
             if last_good is None:
                 raise FloatingPointError("non-finite loss with no checkpoint")
-            print(f"[{stage} {iteration - 1}] loss is non-finite — "
+            print(f"[{stage} {bad_iter}] loss is non-finite — "
                   "rewinding to last good state")
             state = jax.device_put(last_good)
-            pending_loss = None
+            pending.clear()
             continue
-        pending_loss = metrics["loss"]
 
         if gui is not None:
             if gui_rf is None:
@@ -209,11 +230,21 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                       f"loss={m['loss']:.5f} psnr={m['psnr']:.2f} "
                       f"points={int(m['points'])} overflow={int(m['overflow'])}",
                       flush=True)
-            # non-finite losses rewind within one iteration via the lagged
-            # probe above (replaces the reference's os.execv restart,
-            # train_4DGS.py:224-226); here we only refresh the rewind target
-            if math.isfinite(m["loss"]) and (iteration % 500 == 0
-                                             or last_good is None):
+            # non-finite losses rewind within a few iterations via the
+            # polled probe above (replaces the reference's os.execv restart,
+            # train_4DGS.py:224-226); before refreshing the rewind target,
+            # drain every outstanding loss (blocking is fine — the log fetch
+            # just synced anyway)
+            bad_iter = _drain_pending(block=True)
+            if bad_iter is not None or not math.isfinite(m["loss"]):
+                if last_good is None:
+                    raise FloatingPointError(
+                        "non-finite loss with no checkpoint")
+                print(f"[{stage} {bad_iter or iteration}] loss is "
+                      "non-finite — rewinding to last good state")
+                state = jax.device_put(last_good)
+                pending.clear()
+            elif iteration % 500 == 0 or last_good is None:
                 # host snapshot (device buffers get donated every step)
                 last_good = jax.device_get(state)
 
