@@ -244,8 +244,12 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                       "non-finite — rewinding to last good state")
                 state = jax.device_put(last_good)
                 pending.clear()
-            elif iteration % 500 == 0 or last_good is None:
-                # host snapshot (device buffers get donated every step)
+            elif iteration % 2000 == 0 or last_good is None:
+                # host snapshot (device buffers get donated every step).
+                # At production point counts this is a ~1GB device->host
+                # pull, so it runs at checkpoint-like cadence; the NaN
+                # probe still detects within a few iterations and rewinds
+                # to this state
                 last_good = jax.device_get(state)
 
         if iteration in test_iterations:

@@ -52,7 +52,9 @@ def main():
     if extra and extra[0] == "--":
         extra = extra[1:]
 
-    model_path = os.path.join(args.input_dir, args.expname)
+    # checkpoints land in input_dir itself (train_4DGS.py:75 gaussian_path =
+    # input_dir, the reference's scene-dir layout)
+    model_path = args.input_dir
     ckpts = [str(i) for i in range(args.ckpt_every, 20001, args.ckpt_every)]
 
     restarts = 0
