@@ -196,9 +196,30 @@ def load_point_cloud_dir(dirpath: str, capacity: int,
 # ---------------------------------------------------------------------------
 # native full-state checkpoints
 
+_PULL_CHUNK_BYTES = 32 * 1024 * 1024
+
+
+def chunked_device_get(tree):
+    """device->host pull in <=32MB slices.  Monolithic ~GB transfers can
+    wedge this machine's remote-TPU tunnel indefinitely; slicing bounds each
+    transfer message (and each slice is an independent device op)."""
+    def pull(x):
+        if not hasattr(x, "nbytes") or x.nbytes <= _PULL_CHUNK_BYTES \
+                or x.ndim == 0:
+            return np.asarray(x)
+        rows_per = max(int(_PULL_CHUNK_BYTES
+                           // max(x.nbytes // x.shape[0], 1)), 1)
+        out = np.empty(x.shape, np.dtype(x.dtype))
+        for i in range(0, x.shape[0], rows_per):
+            out[i:i + rows_per] = np.asarray(x[i:i + rows_per])
+        return out
+
+    return jax.tree.map(pull, tree)
+
+
 def save_train_state(path: str, state, extra: dict | None = None):
     flat, treedef = jax.tree.flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+    arrays = {f"leaf_{i}": x for i, x in enumerate(chunked_device_get(flat))}
     if extra:
         arrays.update({f"extra_{k}": np.asarray(v) for k, v in extra.items()})
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

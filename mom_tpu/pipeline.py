@@ -137,8 +137,9 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     metrics = None
     history = []
     # NaN-rewind baseline: snapshot the stage-entry state so a blow-up before
-    # the first periodic snapshot can still rewind
-    last_good = jax.device_get(state)
+    # the first periodic snapshot can still rewind (chunked pull — see
+    # data/checkpoints.chunked_device_get)
+    last_good = ckpt.chunked_device_get(state)
     gui_rf = None
     # one-step-lagged NaN probe: the previous iteration's loss is fetched
     # after the current step is dispatched, so the host never blocks on the
@@ -247,10 +248,10 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             elif iteration % 2000 == 0 or last_good is None:
                 # host snapshot (device buffers get donated every step).
                 # At production point counts this is a ~1GB device->host
-                # pull, so it runs at checkpoint-like cadence; the NaN
-                # probe still detects within a few iterations and rewinds
-                # to this state
-                last_good = jax.device_get(state)
+                # pull (chunked), so it runs at checkpoint-like cadence;
+                # the NaN probe still detects within a few iterations and
+                # rewinds to this state
+                last_good = ckpt.chunked_device_get(state)
 
         if iteration in test_iterations:
             timer.pause()
