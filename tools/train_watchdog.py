@@ -75,9 +75,18 @@ def main():
         proc = subprocess.Popen(cmd, stdout=logf, stderr=subprocess.STDOUT,
                                 cwd=os.path.dirname(os.path.dirname(
                                     os.path.abspath(__file__))))
+        def cpu_ticks():
+            try:
+                with open(f"/proc/{proc.pid}/stat") as f:
+                    parts = f.read().split()
+                return int(parts[13]) + int(parts[14])
+            except Exception:
+                return None
+
         start = time.time()
         last_size = os.path.getsize(args.log)
-        last_change = time.time()
+        last_ticks = cpu_ticks() or 0
+        last_active = time.time()
         stalled = False
         while True:
             time.sleep(30)
@@ -85,15 +94,22 @@ def main():
             if rc is not None:
                 break
             size = os.path.getsize(args.log)
-            if size != last_size:
-                last_size = size
-                last_change = time.time()
+            ticks = cpu_ticks()
+            # "active" = the log grew OR the child is burning CPU (an XLA
+            # compile is log-silent for many minutes but CPU-hot; a wedged
+            # tunnel stream is both silent AND idle)
+            if size != last_size or (ticks is not None
+                                     and ticks - last_ticks > 100):
+                last_active = time.time()
+            last_size = size
+            if ticks is not None:
+                last_ticks = ticks
             allowance = (args.startup_grace_sec
                          if time.time() - start < args.startup_grace_sec
                          else args.stall_sec)
-            if time.time() - last_change > allowance:
-                print(f"[watchdog] STALL (> {allowance}s without log "
-                      "progress) — killing", flush=True)
+            if time.time() - last_active > allowance:
+                print(f"[watchdog] STALL (> {allowance}s without log or "
+                      "CPU progress) — killing", flush=True)
                 proc.send_signal(signal.SIGKILL)
                 proc.wait()
                 stalled = True
