@@ -134,12 +134,12 @@ def save_point_cloud_dir(dirpath: str, gauss_state, deform_params,
     torch = _torch()
     os.makedirs(dirpath, exist_ok=True)
     alive = np.asarray(gauss_state.aux.alive)
-    p = gauss_state.params
+    p = chunked_device_get(gauss_state.params)
     save_gaussian_ply(
         os.path.join(dirpath, "point_cloud.ply"),
-        np.asarray(p.xyz)[alive], np.asarray(p.features_dc)[alive],
-        np.asarray(p.features_rest)[alive], np.asarray(p.opacity)[alive],
-        np.asarray(p.scaling)[alive], np.asarray(p.rotation)[alive])
+        p.xyz[alive], p.features_dc[alive],
+        p.features_rest[alive], p.opacity[alive],
+        p.scaling[alive], p.rotation[alive])
     torch.save(deformation_to_torch_state(deform_params, deform_cfg),
                os.path.join(dirpath, "deformation.pth"))
     torch.save(torch.tensor(np.asarray(gauss_state.aux.deformation_table)[alive]),
