@@ -61,7 +61,6 @@ def main():
     while restarts <= args.max_restarts:
         cmd = [sys.executable, "train_4DGS.py",
                "--input_dir", args.input_dir, "--expname", args.expname,
-               "--test_iterations", "3000", "7000", "14000", "20000",
                "--checkpoint_iterations", *ckpts]
         resume = newest_checkpoint(model_path)
         if resume:
