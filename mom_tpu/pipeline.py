@@ -321,7 +321,10 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                                  size_th is not None)
             if do_reset:
                 state = reset_opacity_op(state)
-        if iteration in checkpoint_iterations:
+        if (iteration in checkpoint_iterations
+                or (checkpoint_iterations and iteration == final_iter)):
+            # the stage end always checkpoints when checkpointing is on, so
+            # a watchdog restart never replays a completed stage
             ckpt.save_train_state(
                 os.path.join(model_path, f"chkpnt_{stage}_{iteration}.npz"),
                 state, {"iteration": iteration})

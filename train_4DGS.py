@@ -20,6 +20,28 @@ def setup_seed(seed):
     random.seed(seed)
 
 
+def _start_device_keepalive(period_s: float = 20.0):
+    """Tiny periodic device op on a daemon thread.  This machine's
+    remote-TPU tunnel can silently drop an RPC stream that goes quiet for
+    many minutes (e.g. during a long XLA compile), wedging the next device
+    call forever; a trickle of no-op traffic keeps the stream alive."""
+    import threading
+    import jax
+    import jax.numpy as jnp
+
+    def beat():
+        while True:
+            try:
+                jnp.zeros(8).sum().block_until_ready()
+            except Exception:
+                pass
+            import time as _t
+            _t.sleep(period_s)
+
+    threading.Thread(target=beat, daemon=True,
+                     name="device-keepalive").start()
+
+
 def main(argv=None):
     parser = ArgumentParser(description="Training script parameters")
     setup_seed(6666)
@@ -74,6 +96,7 @@ def main(argv=None):
     train_data_path = os.path.join(mom_dir, "train_data.pth")
     gaussian_path = args.input_dir
     print("Optimizing " + gaussian_path)
+    _start_device_keepalive()
 
     from mom_tpu.config import save_cfg_args
     save_cfg_args(gaussian_path, Namespace(**vars(args)))
