@@ -227,9 +227,24 @@ def save_train_state(path: str, state, extra: dict | None = None):
 
 
 def load_train_state(path: str, state_template):
+    """Returns (state with HOST numpy leaves, extra).  Leaves stay on the
+    host so the caller can free the template's device buffers BEFORE any
+    upload (halves peak HBM on resume); jitted entry points upload numpy
+    inputs on first use."""
     data = np.load(path, allow_pickle=False)
     flat, treedef = jax.tree.flatten(state_template)
-    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(flat))]
+    leaves = [data[f"leaf_{i}"] for i in range(len(flat))]
     extra = {k[len("extra_"):]: data[k] for k in data.files
              if k.startswith("extra_")}
     return jax.tree.unflatten(treedef, leaves), extra
+
+
+def free_device_tree(tree):
+    """Explicitly delete every jax.Array buffer in a pytree (the python
+    references may be kept alive by closures; .delete() frees HBM now)."""
+    for leaf in jax.tree.leaves(tree):
+        if isinstance(leaf, jax.Array):
+            try:
+                leaf.delete()
+            except Exception:
+                pass

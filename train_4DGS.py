@@ -135,8 +135,11 @@ def main(argv=None):
         if "coarse" not in os.path.basename(start_ckpt):
             skip_coarse = True
         resume_state, extra = ckpt_io.load_train_state(start_ckpt, state)
+        # the template's device buffers are dead weight once the resume
+        # state (host leaves) exists — free them before training uploads it
+        ckpt_io.free_device_tree(state)
         print(f"resuming from {start_ckpt} "
-              f"(iteration {int(extra.get('iteration', -1))})")
+              f"(iteration {int(extra.get('iteration', -1))})", flush=True)
 
     from mom_tpu.ops.rasterize import CHUNK
     n0 = int(state.gauss.num_alive)
