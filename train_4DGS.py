@@ -180,4 +180,15 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException:
+        # fail FAST: after a device-backend error, interpreter teardown
+        # tries to free device buffers through the (possibly wedged) tunnel
+        # stream and can hang forever — print and hard-exit so the watchdog
+        # can retry immediately
+        import traceback
+        traceback.print_exc()
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(3)
