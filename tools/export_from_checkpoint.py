@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--key_cap_mult", type=float, default=4.0)
     args = ap.parse_args()
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from train_watchdog import newest_checkpoint  # same tools dir
     ckpt_path = args.checkpoint or newest_checkpoint(args.input_dir)
     assert ckpt_path, "no checkpoint found"
