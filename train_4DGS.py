@@ -136,8 +136,11 @@ def main(argv=None):
             skip_coarse = True
         resume_state, extra = ckpt_io.load_train_state(start_ckpt, state)
         # the template's device buffers are dead weight once the resume
-        # state (host leaves) exists — free them before training uploads it
+        # state (host leaves) exists — free them before training uploads it,
+        # and swap the resume state in NOW (everything below, including the
+        # key_cap num_alive read, must see live buffers)
         ckpt_io.free_device_tree(state)
+        state = resume_state
         print(f"resuming from {start_ckpt} "
               f"(iteration {int(extra.get('iteration', -1))})", flush=True)
 
