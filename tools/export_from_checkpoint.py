@@ -64,9 +64,7 @@ def main():
 
     mom_dir = os.path.join(args.input_dir, "MOM")
     scene = load_scene(os.path.join(mom_dir, "train_data.pth"),
-                       scene_flow_path=os.path.join(mom_dir,
-                                                    "scene_flow.pth"),
-                       trajectory_dir="test_trajectory")
+                       traj_dir="test_trajectory")
     state, deform_cfg, capacity = pipeline.build_initial_state(
         scene, hidden, opt_cfg, flow_scale=2.0)
     host_state, extra = ckpt_io.load_train_state(ckpt_path, state)
