@@ -3,6 +3,9 @@ math: HexPlane multi-scale sampling (grid_sample products, plane order and
 the raw-time quirk) and the MLP heads applied through the converted
 state-dict — verifying both the math and the checkpoint key layout."""
 
+import pytest
+
+pytestmark = pytest.mark.parity
 import numpy as np
 import jax
 import jax.numpy as jnp

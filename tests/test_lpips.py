@@ -2,6 +2,9 @@
 (the reference imports the package at utils/loss_utils.py:16; its live call
 is dormant — lambda_lpips=0 — but the port must match the math)."""
 
+import pytest
+
+pytestmark = pytest.mark.parity
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -161,7 +161,7 @@ def test_flow_viz():
     assert img.shape == (8, 8, 3) and img.dtype == np.uint8
 
 
-@pytest.mark.slow
+@pytest.mark.parity
 def test_stage1_to_stage2_handoff(tmp_path):
     """Full stage 1 on a tiny synthetic input, then stage-2 scene loading."""
     from PIL import Image
@@ -237,6 +237,7 @@ def test_densify_hints_matches_reference_math():
     np.testing.assert_allclose(dense, ref, atol=1e-5)
 
 
+@pytest.mark.parity
 def test_spade_flow_backend_end_to_end():
     """FlowEstimator(backend='spade') with random weights: full 768^2
     pre/post-processing path produces a masked native-res flow."""

@@ -2,6 +2,7 @@
 must run, improve the loss, and agree with an equivalent single-device
 batched computation on the gradients' effect."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,7 @@ def _cams_and_gts(n, W, H, state, dcfg, seed=3):
     return packed, (np.stack(gts) * 255).astype(np.uint8)
 
 
+@pytest.mark.parity
 def test_dp_step_runs_and_learns():
     assert len(jax.devices()) == 8
     state, dcfg = _toy_state(n=64, capacity=128)
@@ -68,6 +70,7 @@ def test_dp_step_runs_and_learns():
     assert last < first * 0.9, (first, last)
 
 
+@pytest.mark.parity
 def test_dp_fine_stage_with_deformation():
     state, dcfg = _toy_state(n=48, capacity=128)
     W = H = 16
@@ -90,6 +93,7 @@ def test_dp_fine_stage_with_deformation():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.parity
 def test_point_sharded_step_runs_and_learns():
     """Point-sharded (tensor-parallel) step over the 8 virtual devices:
     params sharded on the point axis, image row-sharded compositing, grads

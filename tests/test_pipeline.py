@@ -90,6 +90,7 @@ def test_deformation_state_roundtrip():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+@pytest.mark.parity
 def test_full_training_and_render(tmp_path):
     scene_dir = make_synthetic_scene_dir(tmp_path)
     opt = C.OptimizationParams()

@@ -1,5 +1,6 @@
 """Analytic and gradient tests for the pure-JAX oracle rasterizer."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -120,6 +121,7 @@ def test_depth_output():
     assert abs(float(out.depth[16, 16]) - 0.8 * 5.0) < 5e-3
 
 
+@pytest.mark.parity
 def test_gradients_flow_and_match_fd():
     cam, params32 = make_scene(n=12, width=16, height=16)
 

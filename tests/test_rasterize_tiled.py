@@ -1,6 +1,7 @@
 """Parity tests: Pallas tile-binned rasterizer (interpret mode on CPU) vs the
 pure-JAX oracle — forward images and full VJP."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -58,6 +59,7 @@ def test_tiled_matches_oracle_forward():
     np.testing.assert_allclose(np.asarray(til.radii), np.asarray(ref.radii))
 
 
+@pytest.mark.parity
 def test_tiled_matches_oracle_gradients():
     cam, params = make_scene(n=60, width=32, height=32, seed=7)
     bg = jnp.array([0.1, 0.1, 0.1])
@@ -81,6 +83,7 @@ def test_tiled_matches_oracle_gradients():
                                    err_msg=name)
 
 
+@pytest.mark.parity
 def test_tiled_means2d_offset_gradient_matches():
     cam, params = make_scene(n=30, width=32, height=16, seed=11)
     bg = jnp.zeros(3)
@@ -103,6 +106,7 @@ def test_key_cap_overflow_reported():
     assert int(out.overflow) > 0
 
 
+@pytest.mark.parity
 def test_overflow_gradients_stay_finite():
     """Regression: key_cap overflow must not NaN gradients (the pack VJP's
     out-of-bounds segment bounds used to hit jnp.take's NaN fill mode)."""
@@ -119,6 +123,7 @@ def test_overflow_gradients_stay_finite():
         assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.parity
 def test_row_band_rendering_matches_full():
     """row_tiles sharding: stitching per-band renders == the full render
     (the image-sharded path of point-sharded multi-chip rendering)."""

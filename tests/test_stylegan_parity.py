@@ -12,6 +12,8 @@ import types
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.parity
 import torch
 import torch.nn as nn
 import torch.nn.functional as TF

@@ -184,7 +184,7 @@ def test_coarse_training_improves_psnr():
     sampler = ViewpointSampler(3)
     first_psnr = None
     last = None
-    for it in range(1, 61):
+    for it in range(1, 46):
         vi = sampler.next()
         camb = {k: jnp.asarray(v[vi:vi + 1]) for k, v in packed.items()}
         gtb = jnp.asarray(gts[vi:vi + 1])
