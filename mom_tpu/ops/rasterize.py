@@ -7,11 +7,13 @@ The TPU redesign of the reference CUDA pipeline
   ----                                   ----
   preprocessCUDA (1 thread/gaussian)     vmapped XLA preprocess (preprocess.py)
   cub InclusiveSum of tiles_touched      jnp.cumsum over rect areas
-  duplicateWithKeys + cub RadixSort      fixed-capacity slot expansion
-                                         (scatter segment starts + cummax
-                                         fill-forward + one packed-row
-                                         gather), then lax.sort on
-                                         (tile_id, depth)
+  duplicateWithKeys + cub RadixSort      depth-rank the gaussians (P-length
+                                         sort), expand rects front-to-back
+                                         into fixed-capacity slots (scatter
+                                         segment starts + cummax fill-forward
+                                         + one packed-row gather), then ONE
+                                         stable single-key lax.sort on
+                                         tile_id (slot order = depth order)
   identifyTileRanges                     searchsorted over the sorted tile ids
                                          (tiny) + CHUNK-aligned re-layout
   renderCUDA (16x16 block, shared mem)   Pallas kernel: one grid step per tile,
@@ -80,11 +82,12 @@ class Binning(NamedTuple):
     tile_starts: jnp.ndarray   # (num_tiles,) int32 — CHUNK-aligned
     tile_ends: jnp.ndarray     # (num_tiles,) int32 — starts + real counts
     slot_valid: jnp.ndarray    # (padded_cap,) bool — real (non-pad) instance
-    slot_origin: jnp.ndarray   # (padded_cap,) int32 pre-sort slot (key_cap
-                               #   sentinel for pads) — per-gaussian slots
-                               #   are CONTIGUOUS in this space
-    g_offsets: jnp.ndarray     # (P,) int32 pre-sort slot range start
-    g_areas: jnp.ndarray       # (P,) int32 pre-sort slot range size
+    slot_origin: jnp.ndarray   # (padded_cap,) int32 pre-sort (depth-ranked)
+                               #   slot (key_cap sentinel for pads) — per-
+                               #   gaussian slots are CONTIGUOUS in this space
+    g_offsets: jnp.ndarray     # (P,) int32 ranked-slot range start, indexed
+                               #   by ORIGINAL gaussian id
+    g_areas: jnp.ndarray       # (P,) int32 slot range size (original order)
     chunk_tile: jnp.ndarray    # (padded_cap // CHUNK,) int32 owning tile
     num_keys: jnp.ndarray      # () int32 — real instances before capping
     overflow: jnp.ndarray      # () int32 — instances dropped by key_cap
@@ -137,13 +140,23 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
                   key_cap: int, row_tiles=None) -> Binning:
     """Exact duplicate-key expansion with a static capacity.
 
-    Instead of scattering duplicated keys one by one (cub-style), segment
-    metadata is scattered at each gaussian's slot-range start and
-    fill-forwarded with associative scans; a (tile, depth) lax.sort groups
-    instances per tile front-to-back.  Each tile's run is then re-laid-out to
-    a CHUNK-aligned segment (same scatter+scan trick) so the compositing
-    kernel's DMA offsets are provably 128-aligned and tiles never share a
-    chunk (programs are trivially parallelizable)."""
+    Instances expand in GLOBAL FRONT-TO-BACK order: gaussians are first
+    ranked by view depth (one P-length sort), then their tile rects expand
+    into the fixed key_cap slot space in rank order.  Two properties follow:
+
+    - key_cap overflow drops the FARTHEST gaussians' instances (the
+      reference never drops — it reallocates, rasterizer_impl.cu:278-315 —
+      but the farthest instances are exactly the ones the T<1e-4 early-exit
+      would have ignored, so a bounded overflow is visually/gradient-wise
+      benign even right after an opacity reset floods every tile);
+    - within any tile, slot order IS depth order, so grouping instances by
+      tile needs only a single-key stable sort on tile_id carrying the slot
+      index (vs the previous (tile, depth) 2-key sort over 4 operands —
+      half the data movement through the O(log^2 n) sorting network).
+
+    Each tile's run is then re-laid-out to a CHUNK-aligned segment
+    (scatter + cummax fill-forward) so the compositing kernel's DMA offsets
+    are provably 128-aligned and tiles never share a chunk."""
     geom = _geom(width, height, row_tiles)
     grid_x, grid_y = geom.grid_x, geom.grid_y
     num_tiles = grid_x * grid_y
@@ -162,14 +175,20 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     rh = (rmx[:, 1] - rmn[:, 1]).astype(jnp.int32)
     areas = jnp.where(alive, rw * rh, 0).astype(jnp.int32)
 
-    offsets_inc = jnp.cumsum(areas)
-    total = offsets_inc[-1]
-    offsets = offsets_inc - areas                      # exclusive
+    # global depth ranking (dead gaussians sort last; their areas are 0)
+    depth_key = jnp.where(alive, pre.depths, jnp.float32(3.4e38))
+    _, perm = jax.lax.sort((depth_key, jnp.arange(P, dtype=jnp.int32)),
+                           num_keys=1)
+    areas_r = areas[perm]
 
-    gid_f = _segment_ids(offsets, areas, key_cap)
-    (off_f, rw_f, mnx_f, mny_f, dep_f) = _gather_packed_rows(
-        [offsets, jnp.maximum(rw, 1), rmn[:, 0], rmn[:, 1], pre.depths],
-        gid_f)
+    offsets_inc = jnp.cumsum(areas_r)
+    total = offsets_inc[-1]
+    offsets_r = offsets_inc - areas_r                  # exclusive, ranked
+
+    rank_f = _segment_ids(offsets_r, areas_r, key_cap)
+    (off_f, rw_f, mnx_f, mny_f, gid_f) = _gather_packed_rows(
+        [offsets_r, jnp.maximum(rw, 1)[perm], rmn[:, 0][perm],
+         rmn[:, 1][perm], perm], rank_f)
 
     slots = jnp.arange(key_cap, dtype=jnp.int32)
     in_range = slots < total
@@ -177,10 +196,11 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     tx = mnx_f + local % rw_f
     ty = mny_f + local // rw_f
     tile_id = jnp.where(in_range, ty * grid_x + tx, num_tiles).astype(jnp.int32)
-    depth = jnp.where(in_range, dep_f, jnp.float32(3.4e38))
 
-    tile_sorted, _, gid_sorted, slot_of_sorted = jax.lax.sort(
-        (tile_id, depth, gid_f, slots), num_keys=2)
+    # stable single-key sort: within a tile, slots stay ascending = depth
+    # ascending (front to back)
+    tile_sorted, slot_of_sorted = jax.lax.sort((tile_id, slots), num_keys=1)
+    gid_sorted = gid_f[slot_of_sorted]
 
     # per-tile counts via one-sided diff of first-occurrence positions:
     # searchsorted over 1024 tile ids is cheap (the array is tiny)
@@ -212,10 +232,14 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     # per-chunk owning tile (the chunk-grid kernels' block router)
     chunk_tile = u_f[::CHUNK]
 
+    # slot-range starts in ORIGINAL gaussian order (the backward segment-sum
+    # indexes ranges by gaussian id; ranges live in the ranked slot space)
+    g_offsets = jnp.zeros(P, jnp.int32).at[perm].set(offsets_r)
+
     return Binning(gid_sorted=gid_padded, tile_starts=pstarts,
                    tile_ends=pstarts + counts, slot_valid=slot_valid,
-                   slot_origin=slot_origin, g_offsets=offsets, g_areas=areas,
-                   chunk_tile=chunk_tile,
+                   slot_origin=slot_origin, g_offsets=g_offsets,
+                   g_areas=areas, chunk_tile=chunk_tile,
                    num_keys=jnp.minimum(total, key_cap),
                    overflow=jnp.maximum(total - key_cap, 0))
 
