@@ -1,37 +1,76 @@
 #!/usr/bin/env python
 """Benchmark: fine-stage 4DGS training throughput at the REFERENCE scale —
 512x512 with 262,144 initial gaussians (the live pipeline's init count,
-gaussian_renderer/__init__.py:86) and the real demo/scene_0 image as GT —
-vs the pure-JAX oracle rasterizer baseline (BASELINE.json configs[0]; the
-reference publishes no numbers of its own, BASELINE.md).
+gaussian_renderer/__init__.py:86) and the real demo/scene_0 image as GT.
 
-The oracle baseline is measured at 65,536 points (it is O(P * pixels) by
-design and would take minutes at 262k) and scaled linearly in P to the
-bench point count; the scaling is exact for its per-pixel-per-gaussian
-inner loop and reported explicitly.
+Budget-safe structure (round-2 lesson: the driver run timed out before the
+single JSON line was printed):
 
-Render FPS note (reconciling round-1's 30 FPS bench vs ~700 FPS RESULTS
-numbers): splat rendering cost scales with the LIVE INSTANCE count (points
-x tiles touched), not the resolution alone.  A freshly initialized 262k
-cloud has large untrained gaussians (~8 tiles each, ~2M instances); a
-TRAINED scene prunes to ~60k tight gaussians (~4 tiles, ~0.2M instances)
-and renders an order of magnitude faster.  The bench reports both the
-instance count and FPS at this (heavy, untrained) configuration.
+- ONE essential device compile (the fine-stage train step); everything else
+  is best-effort and time-gated.
+- A SIGALRM watchdog prints whatever has been banked and exits before the
+  driver budget can expire.
+- The pure-JAX oracle baseline is NOT re-measured (it is an O(P*pixels)
+  graph whose compile alone can starve the budget through the tunnel):
+  vs_baseline uses the recorded round-1 measurement — 0.234 it/s at 65,536
+  points on this chip (BENCH_r01.json / RESULTS.md round-1 table) — scaled
+  linearly in P (exact for the oracle's per-pixel-per-gaussian inner loop).
+- MFU: XLA cost-analysis FLOPs of the compiled step (sort/gather movement
+  counts as 0, as it should) PLUS analytic FLOPs of the two Pallas
+  compositing kernels (custom calls are invisible to cost analysis),
+  divided by measured step time and the v5e bf16 peak.
+- Step-time breakdown (bin / composite fwd / full fwd / fwd+bwd+adam) runs
+  only while enough budget remains; partial results still ship.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline",
+"extra": {...}}.  All progress chatter goes to stderr.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
+T0 = time.time()
+BUDGET = float(os.environ.get("MOM_TPU_BENCH_BUDGET", "900"))  # seconds
+V5E_PEAK_BF16 = 197e12  # TPU v5e peak (bf16 TFLOP/s); fp32 runs below this
+
+# round-1 oracle baseline on this chip (BENCH_r01.json): pure-JAX reference
+# rasterizer training step at 65,536 points, 512x512
+ORACLE_IPS_65K = 0.234
+ORACLE_PTS = 65_536
+
+_result = {"metric": "4dgs_fine_train_iters_per_sec_512px_262k",
+           "value": None, "unit": "iter/s", "vs_baseline": None,
+           "extra": {"status": "building"}}
+_printed = False
+
+
+def _print_once():
+    global _printed
+    if not _printed:
+        _printed = True
+        print(json.dumps(_result), flush=True)
+
+
+def _alarm(_sig, _frm):
+    _result["extra"]["status"] = "watchdog_flush"
+    _result["extra"]["elapsed_s"] = round(time.time() - T0, 1)
+    _print_once()
+    os._exit(0)
+
+
+def log(msg):
+    print(f"[bench +{time.time() - T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
 
 def _scene0_gts(W, H, n_views=4):
-    """GT views from the demo/scene_0 photo (slightly shifted crops stand in
-    for the 25 synthetic views — real image statistics, static geometry)."""
+    """GT views from the demo/scene_0 photo (shifted crops stand in for the
+    25 synthetic views — real image statistics, static geometry)."""
     from PIL import Image
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "demo", "scene_0", "image.png")
@@ -47,7 +86,6 @@ def _scene0_gts(W, H, n_views=4):
 
 def build_problem(n_pts=262_144, W=512, H=512):
     import jax
-    import jax.numpy as jnp
     from mom_tpu import config as C
     from mom_tpu.models import gaussians as G
     from mom_tpu.models import deformation as D
@@ -97,85 +135,203 @@ def build_problem(n_pts=262_144, W=512, H=512):
     return state, deform_cfg, hidden, opt, packed, gts, W, H
 
 
-def time_steps(step, state, packed, gts, n_iters):
+def pallas_flops(key_cap, width, height):
+    """Analytic FLOPs of the chunk-grid compositing kernels per call
+    (invisible to XLA cost analysis).  Per [256-pixel x 128-instance] chunk:
+    forward = lane-cumsum tri-matmul (2*256*128*128) + contribution matmul
+    (2*256*128*4) + ~30 VPU elementwise ops; backward replays the walk with
+    a second cumsum and three extra matmuls (~2x forward + 3*2*256*128*4)."""
+    from mom_tpu.ops.rasterize import padded_cap, CHUNK, TILE
+    pcap = padded_cap(key_cap, width, height)
+    n_chunks = pcap // CHUNK
+    pix = TILE * TILE
+    mm = 2 * pix * CHUNK * CHUNK          # triangular cumsum matmul
+    contrib = 2 * pix * CHUNK * 4
+    vpu = 30 * pix * CHUNK
+    fwd = n_chunks * (mm + contrib + vpu)
+    bwd = n_chunks * (2 * mm + 4 * contrib + 2 * vpu)
+    return fwd, bwd
+
+
+def time_chained(fn, state, n_iters, packed, gts):
+    """Sustained state-chained timing (tunnel rule: only trust chained
+    measurements — unconsumed executions can be elided)."""
     import jax
     import jax.numpy as jnp
-    camb = {k: jnp.asarray(v[0:1]) for k, v in packed.items()}
-    gtb = jnp.asarray(gts[0:1])
-    state, m = step(state, camb, gtb, jnp.asarray(1.0, jnp.float32),
-                    jnp.asarray(3, jnp.int32))
-    jax.block_until_ready(m["loss"])
     t0 = time.time()
+    m = None
     for i in range(n_iters):
         vi = i % 4
         camb = {k: jnp.asarray(v[vi:vi + 1]) for k, v in packed.items()}
         gtb = jnp.asarray(gts[vi:vi + 1])
-        state, m = step(state, camb, gtb,
-                        jnp.asarray(float(i + 2), jnp.float32),
-                        jnp.asarray(3, jnp.int32))
+        state, m = fn(state, camb, gtb,
+                      jnp.asarray(float(i + 2), jnp.float32),
+                      jnp.asarray(3, jnp.int32))
     jax.block_until_ready(m["loss"])
-    dt = time.time() - t0
-    return n_iters / dt, state, {k: float(v) for k, v in m.items()}
+    return n_iters / (time.time() - t0), state, m
 
 
 def main():
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(max(int(BUDGET - 45), 60))
+
     import jax
     import jax.numpy as jnp
     from mom_tpu.train.loop import make_train_step
     from mom_tpu.ops.rasterize import default_key_cap
 
-    N_PTS = 262_144
-    state, deform_cfg, hidden, opt, packed, gts, W, H = build_problem(N_PTS)
+    log(f"backend={jax.default_backend()} budget={BUDGET}s")
+    # scale overrides (CPU smoke tests of the harness itself; production-
+    # scale profiling via e.g. PTS=921600 RES=1280x720)
+    N_PTS = int(os.environ.get("MOM_TPU_BENCH_PTS", 262_144))
+    res = os.environ.get("MOM_TPU_BENCH_RES", "512")
+    W, H = ([int(v) for v in res.split("x")] * 2)[:2]
+    state, deform_cfg, hidden, opt, packed, gts, W, H = build_problem(
+        N_PTS, W, H)
     key_cap = default_key_cap(N_PTS, 4.0)
+    log(f"problem built: {N_PTS} pts, key_cap={key_cap}")
 
-    step_tiled = make_train_step(opt, hidden, deform_cfg, W, H, "fine",
-                                 spatial_lr_scale=3.0, bg=(0, 0, 0),
-                                 key_cap=key_cap, backend="tiled")
-    tiled_ips, state_t, m = time_steps(step_tiled, state, packed, gts, 30)
+    step = make_train_step(opt, hidden, deform_cfg, W, H, "fine",
+                           spatial_lr_scale=3.0, bg=(0, 0, 0),
+                           key_cap=key_cap, backend="tiled")
 
-    # render-only throughput at the same (untrained, heavy) configuration
-    from mom_tpu.pipeline import make_render_jit
-    rf = make_render_jit(state_t, deform_cfg, W, H, (0, 0, 0), stage="fine",
-                         backend="tiled", key_cap=key_cap)
-    cam0 = {k: jnp.asarray(v[0]) for k, v in packed.items()}
-    img = rf(state_t.gauss.params, state_t.gauss.aux, state_t.deform, cam0)
-    img.block_until_ready()
-    t0 = time.time()
-    for _ in range(30):
-        img = rf(state_t.gauss.params, state_t.gauss.aux, state_t.deform,
-                 cam0)
-    img.block_until_ready()
-    render_fps = 30 / (time.time() - t0)
+    # warmup/compile (the one essential compile)
+    camb = {k: jnp.asarray(v[0:1]) for k, v in packed.items()}
+    gtb = jnp.asarray(gts[0:1])
+    tc = time.time()
+    state, m = step(state, camb, gtb, jnp.asarray(1.0, jnp.float32),
+                    jnp.asarray(3, jnp.int32))
+    jax.block_until_ready(m["loss"])
+    compile_s = time.time() - tc
+    log(f"step compiled+first-run in {compile_s:.1f}s")
 
-    # oracle baseline at 65k, scaled linearly in P (see module docstring)
-    ORACLE_PTS = 65_536
-    state2, deform_cfg2, hidden2, opt2, packed2, gts2, _, _ = \
-        build_problem(ORACLE_PTS)
-    step_ref = make_train_step(opt2, hidden2, deform_cfg2, W, H, "fine",
-                               spatial_lr_scale=3.0, bg=(0, 0, 0),
-                               backend="reference")
-    ref_ips_65k, _, _ = time_steps(step_ref, state2, packed2, gts2, 3)
-    ref_ips = ref_ips_65k * (ORACLE_PTS / N_PTS)
+    n_iters = int(os.environ.get("MOM_TPU_BENCH_ITERS", 30))
+    tiled_ips, state, m = time_chained(step, state, n_iters, packed, gts)
+    step_s = 1.0 / tiled_ips
+    log(f"tiled: {tiled_ips:.3f} it/s over {n_iters} chained iters")
 
-    result = {
-        "metric": "4dgs_fine_train_iters_per_sec_512px_262k",
-        "value": round(tiled_ips, 3),
-        "unit": "iter/s",
-        "vs_baseline": round(tiled_ips / ref_ips, 3),
-        "extra": {
-            "n_points": N_PTS,
-            "capacity": int(state_t.gauss.capacity),
-            "key_cap_instances": key_cap,
-            "render_fps_512px_untrained": round(render_fps, 2),
-            "train_loss": m["loss"],
-            "train_psnr": m["psnr"],
-            "oracle_iters_per_sec_65k": round(ref_ips_65k, 4),
-            "oracle_extrapolation": "linear in P (O(P*pixels) oracle)",
-            "gt": "demo/scene_0 photo crops",
-            "backend": jax.default_backend(),
-        },
+    oracle_ips = ORACLE_IPS_65K * (ORACLE_PTS / N_PTS)
+
+    # ---- MFU ----------------------------------------------------------
+    xla_flops = None
+    try:
+        # step is already jitted; .lower() reuses the compile cache entry
+        lowered = step.lower(state, camb, gtb, jnp.asarray(2.0, jnp.float32),
+                             jnp.asarray(3, jnp.int32))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        xla_flops = float(cost.get("flops", 0.0))
+    except Exception as e:                                    # noqa: BLE001
+        log(f"cost_analysis unavailable: {e}")
+    pf_fwd, pf_bwd = pallas_flops(key_cap, W, H)
+    total_flops = (xla_flops or 0.0) + pf_fwd + pf_bwd
+    mfu = total_flops / step_s / V5E_PEAK_BF16
+
+    _result.update(value=round(tiled_ips, 3),
+                   vs_baseline=round(tiled_ips / oracle_ips, 3))
+    _result["extra"] = {
+        "status": "core",
+        "n_points": N_PTS,
+        "resolution": f"{W}x{H}",
+        "capacity": int(state.gauss.capacity),
+        "key_cap_instances": key_cap,
+        "train_loss": float(m["loss"]),
+        "train_psnr": float(m["psnr"]),
+        "overflow": int(m["overflow"]),
+        "mfu_vs_v5e_bf16_peak": round(mfu, 4),
+        "flops_per_step": {"xla_cost_analysis": xla_flops,
+                           "pallas_composite_fwd": pf_fwd,
+                           "pallas_composite_bwd": pf_bwd},
+        "step_ms": round(step_s * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+        "oracle_baseline": {
+            "iters_per_sec_65k": ORACLE_IPS_65K,
+            "provenance": "BENCH_r01.json round-1 measurement on this chip",
+            "extrapolation": "linear in P (O(P*pixels) oracle)"},
+        "gt": "demo/scene_0 photo crops",
+        "backend": jax.default_backend(),
     }
-    print(json.dumps(result))
+
+    # ---- best-effort step-time breakdown ------------------------------
+    try:
+        if time.time() - T0 < 0.55 * BUDGET:
+            breakdown = _breakdown(state, deform_cfg, key_cap, W, H, camb)
+            _result["extra"]["breakdown_ms"] = breakdown
+            _result["extra"]["status"] = "core+breakdown"
+    except Exception as e:                                    # noqa: BLE001
+        log(f"breakdown skipped: {e}")
+    _result["extra"]["elapsed_s"] = round(time.time() - T0, 1)
+    signal.alarm(0)
+    _print_once()
+
+
+def _breakdown(state, deform_cfg, key_cap, W, H, camb):
+    """Phase timings of the render forward path, each its own small jit.
+    Chained over 10 reps via carry-consumption to defeat elision."""
+    import jax
+    import jax.numpy as jnp
+    from mom_tpu.ops import rasterize as R
+    from mom_tpu.ops.preprocess import preprocess
+    from mom_tpu.models import gaussians as G
+    from mom_tpu.models import deformation as D
+
+    params, aux = state.gauss.params, state.gauss.aux
+    cam = {k: v[0] for k, v in camb.items()}
+    out = {}
+
+    def timeit(name, fn, *args, reps=10):
+        f = jax.jit(fn)
+        r = f(*args)
+        jax.block_until_ready(r)
+        t0 = time.time()
+        for _ in range(reps):
+            r = f(*args)
+        jax.block_until_ready(r)
+        out[name] = round((time.time() - t0) / reps * 1e3, 2)
+        log(f"breakdown {name}: {out[name]} ms")
+        return r
+
+    scales, rots, opac = G.activated(params)
+
+    def do_deform(p):
+        t = jnp.full((p.xyz.shape[0],), 0.5)
+        return D.deform(state.deform, deform_cfg, p.xyz, p.scaling,
+                        p.rotation, p.opacity, G.get_features(p), t,
+                        aux.scene_flow, jnp.asarray(1.0), 1.0)
+
+    try:
+        timeit("deform_hexplane", do_deform, params)
+    except Exception as e:                                    # noqa: BLE001
+        log(f"deform breakdown n/a: {e}")
+
+    def do_pre(p):
+        return preprocess(p.xyz, scales, rots, jax.nn.sigmoid(p.opacity)[:, 0],
+                          G.get_features(p), cam["viewmatrix"],
+                          cam["projmatrix"], cam["campos"],
+                          cam["tanfovx"], cam["tanfovy"], W, H,
+                          alive_mask=aux.alive)
+
+    pre = timeit("preprocess", do_pre, params)
+
+    binning = timeit("bin", lambda pr: R.bin_gaussians(pr, W, H, key_cap),
+                     pre)
+    timeit("pack+composite_fwd",
+           lambda pr, b: R._composite(
+               R._pack_features(pr, b, key_cap), b.chunk_tile,
+               b.tile_starts, b.tile_ends, b.slot_valid, W, H),
+           pre, binning)
+
+    # full forward render (deform+preprocess+bin+pack+composite); the
+    # step-minus-forward difference is the backward+Adam share
+    from mom_tpu.render import render as render_fn
+    timeit("render_fwd",
+           lambda p: render_fn(p, aux, state.deform, deform_cfg, cam, W, H,
+                               jnp.zeros(3), stage="fine",
+                               active_sh_degree=3, delta_scale=1.0,
+                               key_cap=key_cap, backend="tiled").color,
+           params)
+    return out
 
 
 if __name__ == "__main__":

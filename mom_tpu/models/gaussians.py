@@ -96,9 +96,16 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray,
 
     if n > 200_000:
         # Morton-window approximation for big clouds — the reference's
-        # simple-knn is itself a Morton box search (simple_knn.cu:147-183)
-        dist2 = np.asarray(mean_3nn_sq_dist_morton(
-            jnp.asarray(points, jnp.float32)))
+        # simple-knn is itself a Morton box search (simple_knn.cu:147-183).
+        # The native C++ path runs in <1s at ~1M points where the jitted
+        # device version costs minutes of compile+transfer through a remote
+        # tunnel; the points are host-resident numpy here anyway.
+        from .. import native
+        dist2 = native.knn3_morton(np.ascontiguousarray(points, np.float32),
+                                   window=24)
+        if dist2 is None:
+            dist2 = np.asarray(mean_3nn_sq_dist_morton(
+                jnp.asarray(points, jnp.float32)))
     else:
         dist2 = np.asarray(mean_3nn_sq_dist(jnp.asarray(points, jnp.float32)))
     dist2 = np.clip(dist2, 1e-7, None)

@@ -54,21 +54,60 @@ def make_points_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), (AXIS,))
 
 
-def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+def interleave_perm(cap: int, n: int) -> np.ndarray:
+    """Round-robin permutation: after block-sharding over n devices, shard d
+    holds original points d, d+n, d+2n, ...  Slot-permutation-invariant ops
+    (render, Adam, densify/prune — they treat slots symmetrically) are
+    unaffected; what changes is that ALIVE points (contiguous at the buffer
+    start by construction, models/gaussians.py create_from_pcd) spread
+    evenly across shards, balancing both preprocess work and each shard's
+    FREE-SLOT pool for shard-local densification."""
+    L = cap // n
+    return np.arange(cap).reshape(L, n).T.reshape(-1)
+
+
+def shard_state(state: TrainState, mesh: Mesh,
+                interleave: bool = True) -> TrainState:
     """Place the TrainState on the mesh: per-point leading axes sharded on
-    AXIS, everything else replicated.  Capacity must divide the mesh size
-    (pick_capacity rounds to 1024, so any power-of-two mesh works)."""
+    AXIS (round-robin interleaved by default — see interleave_perm),
+    everything else replicated.  Capacity must divide the mesh size
+    (pick_capacity rounds to 1024, so any power-of-two mesh works).
+    ``unshard_state`` undoes both the sharding and the permutation."""
     n = mesh.devices.size
     cap = state.gauss.capacity
     assert cap % n == 0, (cap, n)
+    perm = interleave_perm(cap, n) if interleave else None
 
-    def spec_for(x):
+    def place(x):
         if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == cap:
-            return NamedSharding(mesh, P(AXIS))
-        return NamedSharding(mesh, P())
+            if perm is not None:
+                x = jax.device_get(x)[perm]
+            return jax.device_put(x, NamedSharding(mesh, P(AXIS)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
 
-    return jax.tree.map(
-        lambda x: jax.device_put(x, spec_for(x)), state)
+    return jax.tree.map(place, state)
+
+
+def unshard_state(state: TrainState, mesh: Mesh,
+                  interleave: bool = True) -> TrainState:
+    """Gather a sharded TrainState to host and restore the original point
+    order (inverse of shard_state)."""
+    n = mesh.devices.size
+    cap = state.gauss.capacity
+    inv = None
+    if interleave:
+        perm = interleave_perm(cap, n)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(cap)
+
+    def pull(x):
+        v = jax.device_get(x)
+        if inv is not None and hasattr(v, "shape") and v.ndim >= 1 \
+                and v.shape[0] == cap:
+            return v[inv]
+        return v
+
+    return jax.tree.map(pull, state)
 
 
 def make_ps_train_step(mesh: Mesh, opt_cfg, hidden_cfg,
@@ -223,3 +262,95 @@ def pad_gt_rows(gt: np.ndarray, hpad: int) -> np.ndarray:
     out = np.zeros((hpad,) + gt.shape[1:], gt.dtype)
     out[:gt.shape[0]] = gt
     return out
+
+
+# ---------------------------------------------------------------------------
+# sharded structural ops (VERDICT r2 #4)
+#
+# densify/prune/opacity-reset are SHARD-LOCAL by construction: the fixed-
+# capacity design's free-slot search, masked scatters and Adam-moment
+# zeroing (models/gaussians.py, train/optim.py) only ever index the local
+# point range, so running them on each device's shard inside shard_map IS
+# the sharded op — a point-sharded run never gathers the full model around
+# a structural iteration.  The only cross-shard touches: a psum for the
+# global alive count (host schedule input) and a per-shard RNG fold for the
+# split noise.  Deviation vs the replicated path (documented): each shard
+# allocates clone/split children from ITS OWN free-slot pool, so a shard
+# can locally saturate while another has room; with pick_capacity's ~25%
+# headroom per shard this matches the reference's global cap behavior in
+# practice (reference semantics: gaussian_model.py:424-509).
+
+def make_ps_structural_ops(mesh: Mesh, state_template: TrainState):
+    """Build jitted shard_mapped (densify, prune, reset_opacity) ops.
+
+    Each takes/returns the SHARDED TrainState (same layout as the train
+    step) and runs the structural scatter on every shard in parallel."""
+    from ..train.loop import _params_by_group  # noqa: F401  (layout docs)
+    from ..train.optim import zero_moments_rows
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    pt = P(AXIS)
+    rep = P()
+    cap = state_template.gauss.capacity
+
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+            return pt
+        return rep
+
+    st_specs = jax.tree.map(spec, state_template)
+
+    def _smap(fn, n_scalars):
+        kwargs = dict(mesh=mesh,
+                      in_specs=(st_specs,) + (rep,) * n_scalars,
+                      out_specs=(st_specs, rep))
+        try:
+            return shard_map(fn, check_vma=False, **kwargs)
+        except TypeError:
+            return shard_map(fn, check_rep=False, **kwargs)
+
+    def _densify(state, grad_threshold, percent_dense, scene_extent):
+        key, sub = jax.random.split(state.rng)
+        sub = jax.random.fold_in(sub, jax.lax.axis_index(AXIS))
+        new_gauss, touched = G.densify(state.gauss, grad_threshold,
+                                       percent_dense, scene_extent, sub)
+        adam = zero_moments_rows(state.adam, POINT_GROUPS, touched)
+        n_alive = jax.lax.psum(jnp.sum(new_gauss.aux.alive), AXIS)
+        return state._replace(gauss=new_gauss, adam=adam, rng=key), n_alive
+
+    def _prune(state, min_opacity, scene_extent, size_threshold):
+        # size_threshold < 0 disables the size test (traced scalar so one
+        # compiled program covers both schedule branches)
+        use_size = size_threshold >= 0
+        params, aux = state.gauss
+        opac = jax.nn.sigmoid(params.opacity)[:, 0]
+        mask = opac < min_opacity
+        big_vs = aux.max_radii2d > size_threshold
+        big_ws = jnp.max(jnp.exp(params.scaling), axis=-1) > 0.1 * scene_extent
+        mask = mask | (use_size & (big_vs | big_ws))
+        kill = mask & aux.alive
+        new_params = params._replace(
+            scaling=jnp.where(kill[:, None], G.DEAD_SCALE, params.scaling),
+            opacity=jnp.where(kill[:, None], G.DEAD_OPACITY, params.opacity))
+        new_aux = aux._replace(alive=aux.alive & jnp.logical_not(kill))
+        adam = zero_moments_rows(state.adam, POINT_GROUPS, kill)
+        new_gauss = G.GaussianState(new_params, new_aux)
+        n_alive = jax.lax.psum(jnp.sum(new_aux.alive), AXIS)
+        return state._replace(gauss=new_gauss, adam=adam), n_alive
+
+    def _reset(state, _unused):
+        params = G.reset_opacity(state.gauss.params)
+        all_rows = jnp.ones(state.gauss.params.xyz.shape[0], bool)
+        adam = zero_moments_rows(state.adam, ("opacity",), all_rows)
+        new_state = state._replace(
+            gauss=state.gauss._replace(params=params), adam=adam)
+        return new_state, jax.lax.psum(jnp.sum(state.gauss.aux.alive), AXIS)
+
+    densify_op = jax.jit(_smap(_densify, 3), donate_argnums=(0,))
+    prune_op = jax.jit(_smap(_prune, 3), donate_argnums=(0,))
+    reset_op = jax.jit(_smap(_reset, 1), donate_argnums=(0,))
+    return densify_op, prune_op, reset_op

@@ -135,3 +135,89 @@ def test_point_sharded_step_runs_and_learns():
     last = float(metrics["loss"])
     assert np.isfinite(last)
     assert last < first * 0.9, (first, last)
+
+
+@pytest.mark.parity
+def test_point_sharded_structural_ops():
+    """Sharded densify/prune/opacity-reset run shard-locally inside the TP
+    path (no full-model gather) and preserve the structural invariants:
+    alive-count bookkeeping, Adam-moment zeroing, opacity cap after reset."""
+    from mom_tpu.parallel.point_sharded import (make_points_mesh,
+                                                make_ps_train_step,
+                                                make_ps_structural_ops,
+                                                shard_state, pad_gt_rows)
+    state, dcfg = _toy_state(n=64, capacity=128)
+    W = H = 64
+    opt = C.OptimizationParams()
+    hidden = C.ModelHiddenParams()
+    packed, gts = _cams_and_gts(2, W, H, state, dcfg)
+
+    mesh = make_points_mesh(4)
+    build, band_h, hpad = make_ps_train_step(
+        mesh, opt, hidden, dcfg, W, H, "coarse", spatial_lr_scale=3.0,
+        bg=(0, 0, 0), key_cap=4096)
+    step = build(state)
+    densify_op, prune_op, reset_op = make_ps_structural_ops(mesh, state)
+    state = shard_state(state, mesh)
+
+    # a few steps to accumulate densification stats
+    for it in range(1, 5):
+        vi = it % 2
+        cam = {k: jnp.asarray(v[vi]) for k, v in packed.items()}
+        gt = jnp.asarray(pad_gt_rows(gts[vi], hpad))
+        state, metrics = step(state, cam, gt,
+                              jnp.asarray(it, jnp.float32),
+                              jnp.asarray(0, jnp.int32))
+    alive0 = int(metrics["points"])
+    assert alive0 == 64
+    pre_alive = np.asarray(state.gauss.aux.alive)
+
+    # densify with threshold 0: every visible point qualifies; clones/splits
+    # land in shard-local free slots with zeroed Adam moments
+    state, n_alive = densify_op(state, jnp.asarray(0.0),
+                                jnp.asarray(opt.percent_dense),
+                                jnp.asarray(3.0))
+    n_alive = int(n_alive)
+    assert n_alive > alive0
+    alive = np.asarray(state.gauss.aux.alive)
+    new_rows = alive & ~pre_alive
+    assert new_rows.sum() == n_alive - alive0
+    mu_xyz = np.asarray(state.adam.m["xyz"])
+    assert np.all(mu_xyz[new_rows] == 0.0)
+
+    # run more train steps so moments repopulate (state layout unchanged)
+    for it in range(5, 7):
+        vi = it % 2
+        cam = {k: jnp.asarray(v[vi]) for k, v in packed.items()}
+        gt = jnp.asarray(pad_gt_rows(gts[vi], hpad))
+        state, metrics = step(state, cam, gt,
+                              jnp.asarray(it, jnp.float32),
+                              jnp.asarray(0, jnp.int32))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # prune at opacity threshold 0 (size test disabled) kills nothing
+    state, n_after = prune_op(state, jnp.asarray(0.0), jnp.asarray(3.0),
+                              jnp.asarray(-1.0))
+    assert int(n_after) == n_alive
+
+    # opacity reset caps activated opacity at 0.01 on every shard and
+    # zeroes the opacity moments
+    state, n_reset = reset_op(state, jnp.asarray(0.0))
+    assert int(n_reset) == n_alive
+    opac = 1.0 / (1.0 + np.exp(-np.asarray(state.gauss.params.opacity)))
+    assert float(opac[np.asarray(state.gauss.aux.alive)].max()) <= 0.0101
+    assert float(np.abs(np.asarray(state.adam.m["opacity"])).max()) == 0.0
+
+    # prune at min_opacity 0.02 now kills every alive point (all reset to
+    # 0.01), shard-locally
+    state, n_pruned = prune_op(state, jnp.asarray(0.02), jnp.asarray(3.0),
+                               jnp.asarray(-1.0))
+    assert int(n_pruned) == 0
+
+    # the train step still runs after structural ops (no reshard needed)
+    cam = {k: jnp.asarray(v[0]) for k, v in packed.items()}
+    gt = jnp.asarray(pad_gt_rows(gts[0], hpad))
+    state, metrics = step(state, cam, gt, jnp.asarray(7.0, jnp.float32),
+                          jnp.asarray(0, jnp.int32))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(metrics["points"]) == 0
