@@ -127,3 +127,24 @@ def from_fs_encoder(sd: dict, dlatent_avg=None) -> dict:
                              if dlatent_avg is not None
                              else jnp.zeros(512, jnp.float32))
     return params
+
+
+def load_g_ema(path: str, cfg: GeneratorConfig) -> dict:
+    """Load a StyleGAN2 checkpoint file in the released nesting
+    ({'g_ema': sd, ...} — utils/model_utils.py:21-24) or a raw state dict."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "g_ema" in sd:
+        sd = sd["g_ema"]
+    return from_g_ema(sd, cfg)
+
+
+def load_fs_encoder_ckpt(path: str, dlatent_avg=None) -> dict:
+    """Load a feature-style encoder checkpoint in the released nesting
+    ({'enc_state_dict': sd, ...} — feature_style_encoder/trainer.py:336,349)
+    or a raw state dict."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "enc_state_dict" in sd:
+        sd = sd["enc_state_dict"]
+    return from_fs_encoder(sd, dlatent_avg)

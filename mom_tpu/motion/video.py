@@ -76,17 +76,11 @@ def _stylegan_loop_frames(image, flow, mask, n_frames, sg2_ckpt,
 
     cfg = SG.GeneratorConfig()
     if sg2_ckpt and os.path.exists(sg2_ckpt):
-        import torch
-        sd = torch.load(sg2_ckpt, map_location="cpu", weights_only=False)
-        gen = SG.convert.from_g_ema(sd.get("g_ema", sd), cfg)
+        gen = SG.convert.load_g_ema(sg2_ckpt, cfg)
     else:
         gen = SG.init_generator(jax.random.PRNGKey(0), cfg)
     if encoder_ckpt and os.path.exists(encoder_ckpt):
-        import torch
-        sd = torch.load(encoder_ckpt, map_location="cpu", weights_only=False)
-        if isinstance(sd, dict) and "enc_state_dict" in sd:
-            sd = sd["enc_state_dict"]
-        enc = SG.convert.from_fs_encoder(sd)
+        enc = SG.convert.load_fs_encoder_ckpt(encoder_ckpt)
     else:
         enc = SG.init_fs_encoder(jax.random.PRNGKey(1))
 

@@ -249,10 +249,21 @@ def from_zoedepth_checkpoint(sd: dict, cfg: ZoeConfig) -> dict:
 
 
 def load_zoedepth(path: str, cfg: ZoeConfig | None = None) -> tuple:
-    """Load a ZoeD_N torch checkpoint from disk -> (params, cfg)."""
+    """Load a ZoeD_N torch checkpoint from disk -> (params, cfg).
+
+    Handles the released ZoeD_M12_N.pt nesting exactly as the reference's
+    loader does (ZoeDepth/zoedepth/models/model_io.py:27-52): an optional
+    {'model': state_dict} wrapper and optional DataParallel 'module.' key
+    prefixes, or a pickled model object."""
     import torch
     cfg = cfg or ZoeConfig()
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"],
+                                                             dict):
+        sd = sd["model"]
+    if any(k.startswith("module.") for k in sd):
+        sd = {(k[7:] if k.startswith("module.") else k): v
+              for k, v in sd.items()}
     return from_zoedepth_checkpoint(sd, cfg), cfg

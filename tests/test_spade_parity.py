@@ -74,3 +74,23 @@ def test_forward_flow_div_flow():
     np.testing.assert_allclose(np.asarray(f20), 20.0 * np.asarray(f1),
                                rtol=1e-5)
     assert f1.shape == (1, 256, 256, 2)
+
+
+def test_sceneflow_pth_file_roundtrip(ref_arch, tmp_path):
+    """File-level seam: a sceneflow_model.pth written in the released
+    nesting ({'netG': state_dict} — cinemagraphy demo.py:191-193) loads
+    through FlowEstimator's disk path and converts identically to the
+    in-memory converter."""
+    config = {"norm_G": "sync:spectral_batch",
+              "motion_norm_G": "sync:spectral_instance"}
+    torch.manual_seed(3)
+    ref = ref_arch.SPADEUnet4MaskMotion(channels_in=6, channels_out=2,
+                                        config=config).eval()
+    path = tmp_path / "sceneflow_model.pth"
+    torch.save({"netG": ref.state_dict(),
+                "optimizer": {}, "num_epoch": 100}, path)
+
+    from mom_tpu.motion.flow import FlowEstimator
+    est = FlowEstimator(backend="spade", ckpt_path=str(path))
+    expect = SP.from_torch_state(ref.state_dict())
+    jax.tree.map(np.testing.assert_array_equal, est._spade, expect)

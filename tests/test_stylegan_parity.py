@@ -281,3 +281,29 @@ def test_fs_encoder_matches(ref_fs_encoder):
     np.testing.assert_allclose(np.asarray(content),
                                content_ref.permute(0, 2, 3, 1).numpy(),
                                atol=2e-3, rtol=1e-2)
+
+
+def test_sg2_ckpt_file_roundtrip(ref_generator_module, tmp_path):
+    """File-level seam: a StyleGAN2 checkpoint written in the released
+    nesting ({'g_ema': sd, 'latent_avg': ...} — utils/model_utils.py:21-24)
+    loads via load_g_ema identically to the in-memory converter."""
+    g = _small_ref_gen(ref_generator_module)
+    path = tmp_path / "sg2-lhq-1024.pt"
+    torch.save({"g_ema": g.state_dict(),
+                "latent_avg": torch.zeros(CFG.style_dim)}, path)
+    got = convert.load_g_ema(str(path), CFG)
+    expect = convert.from_g_ema(g.state_dict(), CFG)
+    jax.tree.map(np.testing.assert_array_equal, got, expect)
+
+
+def test_fs_encoder_ckpt_file_roundtrip(ref_fs_encoder, tmp_path):
+    """File-level seam: an encoder checkpoint in the released nesting
+    ({'enc_state_dict': sd, ...} — feature_style_encoder/trainer.py:336)
+    loads via load_fs_encoder_ckpt identically to the in-memory path."""
+    enc = ref_fs_encoder
+    path = tmp_path / "checkpoint.pth"
+    torch.save({"enc_state_dict": enc.state_dict(),
+                "enc_opt_state_dict": {}, "iteration": 100000}, path)
+    got = convert.load_fs_encoder_ckpt(str(path))
+    expect = convert.from_fs_encoder(enc.state_dict())
+    jax.tree.map(np.testing.assert_array_equal, got, expect)

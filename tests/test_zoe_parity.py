@@ -300,3 +300,101 @@ def test_infer_depth_runs_end_to_end():
     depth = ZM.infer_depth(params, cfg, img)
     assert depth.shape == (60, 90)
     assert np.isfinite(depth).all() and (depth >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# released-file layout (ZoeD_M12_N.pt) round trip
+
+
+def _synthetic_zoed_state_dict(cfg, seed=0):
+    """A random state dict with EXACTLY the released ZoeD_M12_N.pt key
+    nesting at test scale: MidasCore prefixes core.core.pretrained.model
+    (BEiT) / core.core.pretrained.act_postprocess* / core.core.scratch
+    (DPT) + the top-level metric-bins head (train_motion.py:36 load site;
+    key manifest mirrored by from_zoedepth_checkpoint)."""
+    rng = np.random.RandomState(seed)
+    C, M, H = cfg.hidden_size, cfg.mlp_dim, 2
+    neck = cfg.neck_hidden_sizes
+    F = cfg.fusion_hidden_size
+    wh = cfg.window[0]
+    rows = (2 * wh - 1) ** 2 + 3
+    sd = {}
+
+    def t(key, *shape):
+        sd[key] = torch.tensor(rng.randn(*shape).astype(np.float32))
+
+    bb = "core.core.pretrained.model"
+    t(f"{bb}.cls_token", 1, 1, C)
+    t(f"{bb}.patch_embed.proj.weight", C, 3, 16, 16)
+    t(f"{bb}.patch_embed.proj.bias", C)
+    for i in range(cfg.num_layers):
+        p = f"{bb}.blocks.{i}"
+        for n in ("norm1", "norm2"):
+            t(f"{p}.{n}.weight", C); t(f"{p}.{n}.bias", C)
+        t(f"{p}.attn.qkv.weight", 3 * C, C)
+        t(f"{p}.attn.q_bias", C); t(f"{p}.attn.v_bias", C)
+        t(f"{p}.attn.proj.weight", C, C); t(f"{p}.attn.proj.bias", C)
+        t(f"{p}.mlp.fc1.weight", M, C); t(f"{p}.mlp.fc1.bias", M)
+        t(f"{p}.mlp.fc2.weight", C, M); t(f"{p}.mlp.fc2.bias", C)
+        t(f"{p}.gamma_1", C); t(f"{p}.gamma_2", C)
+        t(f"{p}.attn.relative_position_bias_table", rows, H)
+
+    pt, sc = "core.core.pretrained", "core.core.scratch"
+    factors = cfg.dpt().reassemble_factors
+    for k in range(4):
+        ap = f"{pt}.act_postprocess{k + 1}"
+        t(f"{ap}.0.project.0.weight", C, 2 * C)
+        t(f"{ap}.0.project.0.bias", C)
+        t(f"{ap}.3.weight", neck[k], C, 1, 1); t(f"{ap}.3.bias", neck[k])
+        if factors[k] > 1:
+            f = int(factors[k])
+            t(f"{ap}.4.weight", neck[k], neck[k], f, f)
+            t(f"{ap}.4.bias", neck[k])
+        elif factors[k] < 1:
+            t(f"{ap}.4.weight", neck[k], neck[k], 3, 3)
+            t(f"{ap}.4.bias", neck[k])
+        t(f"{sc}.layer{k + 1}_rn.weight", F, neck[k], 3, 3)
+    for rn in (1, 2, 3, 4):
+        p = f"{sc}.refinenet{rn}"
+        t(f"{p}.out_conv.weight", F, F, 1, 1); t(f"{p}.out_conv.bias", F)
+        for u in ("resConfUnit1", "resConfUnit2"):
+            for cv in ("conv1", "conv2"):
+                t(f"{p}.{u}.{cv}.weight", F, F, 3, 3)
+                t(f"{p}.{u}.{cv}.bias", F)
+    t(f"{sc}.output_conv.0.weight", F // 2, F, 3, 3)
+    t(f"{sc}.output_conv.0.bias", F // 2)
+    t(f"{sc}.output_conv.2.weight", 32, F // 2, 3, 3)
+    t(f"{sc}.output_conv.2.bias", 32)
+    t(f"{sc}.output_conv.4.weight", 1, 32, 1, 1)
+    t(f"{sc}.output_conv.4.bias", 1)
+
+    t("conv2.weight", F, F, 1, 1); t("conv2.bias", F)
+
+    def mlp2(prefix, cin, chid, cout):
+        t(f"{prefix}.0.weight", chid, cin, 1, 1); t(f"{prefix}.0.bias", chid)
+        t(f"{prefix}.2.weight", cout, chid, 1, 1); t(f"{prefix}.2.bias", cout)
+
+    mlp2("seed_bin_regressor._net", F, 256, cfg.n_bins)
+    mlp2("seed_projector._net", F, 128, cfg.bin_embedding_dim)
+    for i in range(4):
+        mlp2(f"projectors.{i}._net", F, 128, cfg.bin_embedding_dim)
+    for i in range(4):
+        mlp2(f"attractors.{i}._net", cfg.bin_embedding_dim, 16,
+             cfg.n_attractors[i])
+    mlp2("conditional_log_binomial.mlp", 33, 64, 16)
+    return sd
+
+
+def test_zoed_m12_n_file_roundtrip(tmp_path):
+    """File-level seam: a ZoeD_M12_N.pt written exactly as released —
+    {'model': state_dict} wrapper with DataParallel 'module.' prefixes
+    (model_io.py:27-52 strips both) — loads via load_zoedepth identically
+    to the in-memory converter on the raw state dict."""
+    cfg = SMALL
+    sd = _synthetic_zoed_state_dict(cfg)
+    path = tmp_path / "ZoeD_M12_N.pt"
+    torch.save({"model": {f"module.{k}": v for k, v in sd.items()},
+                "optimizer": {}, "epoch": 5}, path)
+    got, _ = CV.load_zoedepth(str(path), cfg)
+    expect = CV.from_zoedepth_checkpoint(sd, cfg)
+    jax.tree.map(np.testing.assert_array_equal, got, expect)
