@@ -27,9 +27,15 @@ def grid_sample_2d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
     y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
 
-    g = grid.reshape(C, H * W)
+    # row-major table so each corner lookup is ONE contiguous row gather of
+    # C floats: gathering columns of a (C, H*W) table at millions of indices
+    # is HBM-latency bound on TPU (~10x slower; same lesson as the packed
+    # row gather in ops/rasterize.py).  The (H*W, C) transpose itself is a
+    # tiny one-shot relayout of the <=16k-cell plane.
+    g = grid.reshape(C, H * W).T              # (H*W, C)
+
     def take(yi, xi):
-        return g[:, yi * W + xi].T            # (N, C)
+        return g[yi * W + xi]                 # (N, C) row gather
 
     v00 = take(y0i, x0i)
     v01 = take(y0i, x1i)

@@ -197,9 +197,12 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     ty = mny_f + local // rw_f
     tile_id = jnp.where(in_range, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
-    # stable single-key sort: within a tile, slots stay ascending = depth
-    # ascending (front to back)
-    tile_sorted, slot_of_sorted = jax.lax.sort((tile_id, slots), num_keys=1)
+    # within a tile, slots must stay ascending = depth ascending (front to
+    # back).  (tile, slot) as TWO explicit keys gives exactly that order
+    # without the hidden iota operand XLA adds to stabilize a 1-key sort —
+    # slots are unique, so the composite key is total and the sort order
+    # equals the stable order.
+    tile_sorted, slot_of_sorted = jax.lax.sort((tile_id, slots), num_keys=2)
     gid_sorted = gid_f[slot_of_sorted]
 
     # per-tile counts via one-sided diff of first-occurrence positions:

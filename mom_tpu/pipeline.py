@@ -373,6 +373,11 @@ def render_trajectory(state: TrainState, deform_cfg, cams: list[Camera],
             t1 = time.time()   # exclude frame-0 compile, like a warm run
         device_frames.append(img)
     frames = [np.asarray(f) for f in device_frames]
+    if frames and frames[0].dtype != np.uint8:
+        # a float rf was passed in: quantize on host (never truncate —
+        # round-2's stage-3 export wrote all-black PNGs through this seam)
+        frames = [(np.clip(f, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+                  for f in frames]
     t2 = time.time()
     fps = (len(cams) - 1) / max(t2 - t1, 1e-9)
     return frames, fps
@@ -385,7 +390,8 @@ def render_training_videos(model_path, iteration, state, deform_cfg, scene,
     outdir = os.path.join(model_path, "video", f"itrs_{iteration}")
     os.makedirs(outdir, exist_ok=True)
     rf = make_render_jit(state, deform_cfg, scene.width, scene.height, bg,
-                         stage=stage, backend=backend, key_cap=key_cap)
+                         stage=stage, backend=backend, key_cap=key_cap,
+                         uint8=True)
     name_map = {"up-down": "up_down", "side": "side", "zoom-in": "zoom_in",
                 "circle": "circle"}
     for name, cams in scene.video_cams.items():
@@ -405,8 +411,10 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
     from .utils.videoio import write_mp4
     name_map = {"up-down": "up_down", "side": "side", "zoom-in": "zoom",
                 "circle": "circle"}
+    # device-side uint8 quantization: 4x less device->host traffic per
+    # frame AND the dtype png_write_batch expects
     rf = make_render_jit(state, deform_cfg, scene.width, scene.height, bg,
-                         backend=backend, key_cap=key_cap)
+                         backend=backend, key_cap=key_cap, uint8=True)
     fps_all = {}
     for name, cams in scene.video_cams.items():
         out_name = name_map[name]

@@ -198,3 +198,31 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     assert int(extra["iteration"]) == 5
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_render_trajectory_quantizes_float_frames():
+    """Regression (round-2 stage-3 export wrote all-black PNGs): a float
+    render fn passed into render_trajectory must yield properly quantized
+    uint8 frames, not fp32 arrays that downstream PNG writers truncate."""
+    from mom_tpu import pipeline
+    from mom_tpu.cameras import Camera
+
+    class FakeState:
+        class gauss:
+            params = None
+            aux = None
+        deform = None
+
+    import jax.numpy as jnp
+    val = 0.6180339887
+
+    def rf(params, aux, deform, cam):
+        return jnp.full((8, 8, 3), val, jnp.float32)
+
+    cams = [Camera(R=np.eye(3), T=np.zeros(3), fovx=0.8, fovy=0.8,
+                   width=8, height=8, time=0.0, frame_num=0)
+            for _ in range(2)]
+    frames, fps = pipeline.render_trajectory(FakeState(), None, cams, 8, 8,
+                                             (0, 0, 0), rf=rf)
+    assert frames[0].dtype == np.uint8
+    assert int(frames[0][0, 0, 0]) == int(val * 255 + 0.5)
