@@ -331,6 +331,24 @@ def _breakdown(state, deform_cfg, key_cap, W, H, camb):
                                active_sh_degree=3, delta_scale=1.0,
                                key_cap=key_cap, backend="tiled").color,
            params)
+
+    # deform fwd+bwd w.r.t. the DEFORMATION tree: isolates the
+    # hexplane-gather VJP (a scatter-add into the plane tables) from the
+    # rasterizer backward
+    def deform_loss(dtree):
+        t = jnp.full((params.xyz.shape[0],), 0.5)
+        out = D.deform(dtree, deform_cfg, params.xyz, params.scaling,
+                       params.rotation, params.opacity,
+                       G.get_features(params), t, aux.scene_flow,
+                       jnp.asarray(1.0), 1.0)
+        return sum(jnp.sum(o * o) for o in out[:3])
+
+    try:
+        timeit("deform_fwd+bwd",
+               lambda d: jax.grad(deform_loss)(d)["grid"]["grids"][0][0],
+               state.deform)
+    except Exception as e:                                    # noqa: BLE001
+        log(f"deform grad breakdown n/a: {e}")
     return out
 
 

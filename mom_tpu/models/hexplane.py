@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.gridsample import grid_sample_2d
+from ..ops.gridsample import (grid_sample_2d, build_patch_table,
+                              grid_sample_2d_patched)
 
 COO_COMBS = list(itertools.combinations(range(4), 2))
 SPATIAL_PLANES = (0, 1, 3)
@@ -88,7 +89,13 @@ def hexplane_features(params: dict, pts: jnp.ndarray,
         interp = 1.0
         for ci, (a, b) in enumerate(COO_COMBS):
             c2 = jnp.stack([coords4[:, a], coords4[:, b]], axis=-1)
-            interp = interp * grid_sample_2d(scale_planes[ci], c2)
+            # patch-table path: one aligned 128-lane row gather per sample
+            # instead of four 32-lane corner gathers (4x less TPU gather
+            # traffic at 1M+ points; see ops/gridsample.py docstring)
+            plane = scale_planes[ci]
+            _, ph, pw = plane.shape
+            interp = interp * grid_sample_2d_patched(
+                build_patch_table(plane), ph, pw, c2)
         features.append(interp)
     return jnp.concatenate(features, axis=-1)
 

@@ -1,6 +1,19 @@
 """Bilinear 2D grid sampling (align_corners=True, border padding) — the XLA
 gather equivalent of the torch F.grid_sample call in the reference HexPlane
-(scene/hexplane.py:21-46).  Differentiable w.r.t. both grid and coords."""
+(scene/hexplane.py:21-46).  Differentiable w.r.t. both grid and coords.
+
+Two sampling paths:
+
+- grid_sample_2d: 4 corner-row gathers from a (H*W, C) table.  On TPU each
+  gathered row reads its full (8, 128) memory tile, so a C=32 row costs a
+  4 KB read — 16 KB per point per plane.
+- grid_sample_2d_patched (the hexplane hot path): gathers ONE row from a
+  precomputed (H*W, 4*C) 2x2-PATCH table whose row (y, x) holds the four
+  bilinear corners [T(y,x), T(y,x+1), T(y+1,x), T(y+1,x+1)].  With C=32 a
+  patch row is exactly 128 lanes, so the same sample costs one aligned
+  4 KB read — 4x less gather traffic forward, and the VJP does one
+  scatter-add instead of four.  Border clamping is baked in by
+  edge-padding the grid before patch extraction."""
 
 from __future__ import annotations
 
@@ -43,5 +56,48 @@ def grid_sample_2d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     v11 = take(y1i, x1i)
     wx = wx[:, None]
     wy = wy[:, None]
+    return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
+            + v10 * (1 - wx) * wy + v11 * wx * wy)
+
+
+def build_patch_table(grid: jnp.ndarray) -> jnp.ndarray:
+    """grid (C, H, W) -> (H*W, 4*C) table of 2x2 bilinear patches.
+    Row y*W+x = [T(y,x), T(y,x+1), T(y+1,x), T(y+1,x+1)] with edge
+    replication, which reproduces padding_mode='border' corner clamping
+    (x1 = min(x0+1, W-1) reads the same value as the replicated edge)."""
+    C, H, W = grid.shape
+    g = jnp.pad(grid, ((0, 0), (0, 1), (0, 1)), mode="edge")   # (C, H+1, W+1)
+    p00 = g[:, :H, :W]
+    p01 = g[:, :H, 1:W + 1]
+    p10 = g[:, 1:H + 1, :W]
+    p11 = g[:, 1:H + 1, 1:W + 1]
+    # (H, W, 4C) -> (H*W, 4C): corner-major then channel, so the sample can
+    # slice [0:C], [C:2C], ...
+    patches = jnp.concatenate(
+        [p.transpose(1, 2, 0) for p in (p00, p01, p10, p11)], axis=-1)
+    return patches.reshape(H * W, 4 * C)
+
+
+def grid_sample_2d_patched(patches: jnp.ndarray, H: int, W: int,
+                           coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample from a build_patch_table output; same semantics as
+    grid_sample_2d(grid, coords).  patches (H*W, 4C), coords (N, 2) in
+    [-1, 1] -> (N, C)."""
+    C4 = patches.shape[1]
+    C = C4 // 4
+    x = (coords[:, 0] + 1.0) * 0.5 * (W - 1)
+    y = (coords[:, 1] + 1.0) * 0.5 * (H - 1)
+    x = jnp.clip(x, 0.0, W - 1)
+    y = jnp.clip(y, 0.0, H - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 1)
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
+    idx = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
+    rows = patches[idx]                                        # (N, 4C)
+    v00 = rows[:, 0 * C:1 * C]
+    v01 = rows[:, 1 * C:2 * C]
+    v10 = rows[:, 2 * C:3 * C]
+    v11 = rows[:, 3 * C:4 * C]
     return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
             + v10 * (1 - wx) * wy + v11 * wx * wy)
