@@ -94,10 +94,53 @@ def grid_sample_2d_patched(patches: jnp.ndarray, H: int, W: int,
     wx = (x - x0)[:, None]
     wy = (y - y0)[:, None]
     idx = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
-    rows = patches[idx]                                        # (N, 4C)
+    rows = _patch_gather(patches, idx)                         # (N, 4C)
     v00 = rows[:, 0 * C:1 * C]
     v01 = rows[:, 1 * C:2 * C]
     v10 = rows[:, 2 * C:3 * C]
     v11 = rows[:, 3 * C:4 * C]
     return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
             + v10 * (1 - wx) * wy + v11 * wx * wy)
+
+
+# ---------------------------------------------------------------------------
+# sorted-segment-sum VJP for the patch gather
+#
+# The autodiff VJP of rows = patches[idx] is an XLA scatter-add with ~N/cells
+# duplicate indices (70x collisions at 1M points over a 128^2 plane) — a
+# notoriously serialized path on TPU.  _patch_gather replaces it with
+# throughput-bound primitives: sort the indices, reorder the cotangent rows,
+# one cumsum, and two boundary gathers (same trick as the rasterizer's
+# _expand_rows_bwd).
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.custom_vjp, nondiff_argnums=())
+def _patch_gather(patches, idx):
+    return patches[idx]
+
+
+def _patch_gather_fwd(patches, idx):
+    return patches[idx], (idx, patches.shape[0])
+
+
+def _patch_gather_bwd(res, g_rows):
+    idx, n_cells = res
+    n = idx.shape[0]
+    order = _jax.lax.sort((idx, _jax.lax.iota(jnp.int32, n)), num_keys=1)[1]
+    g_sorted = jnp.take(g_rows, order, axis=0)
+    idx_sorted = jnp.take(idx, order)
+    csum = jnp.concatenate(
+        [jnp.zeros((1, g_rows.shape[1]), g_rows.dtype),
+         jnp.cumsum(g_sorted, axis=0)], axis=0)
+    cells = jnp.arange(n_cells, dtype=jnp.int32)
+    starts = jnp.searchsorted(idx_sorted, cells, side="left")
+    ends = jnp.searchsorted(idx_sorted, cells + 1, side="left")
+    d_patches = jnp.take(csum, ends, axis=0) - jnp.take(csum, starts, axis=0)
+    return d_patches, None
+
+
+_patch_gather.defvjp(_patch_gather_fwd, _patch_gather_bwd)
