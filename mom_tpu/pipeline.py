@@ -127,10 +127,15 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     timer = timer or Timer()
     timer.start()
 
-    # fresh optimizer per stage (training_setup is called per stage,
-    # train_4DGS.py:54)
-    groups = _params_by_group(state.gauss.params, state.deform)
-    state = state._replace(adam=optim.init_adam(groups))
+    if first_iter == 0:
+        # fresh optimizer per stage (training_setup is called per stage,
+        # train_4DGS.py:54)
+        groups = _params_by_group(state.gauss.params, state.deform)
+        state = state._replace(adam=optim.init_adam(groups))
+    # else: mid-stage resume — keep the checkpoint's Adam moments (the
+    # reference's restore() reloads opt_dict, gaussian_model.py:89-115;
+    # re-initializing here caused a cold-Adam transient on every watchdog
+    # restart)
 
     num_alive = int(state.gauss.num_alive)
     sh_degree = min(first_iter // 1000, 3)
