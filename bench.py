@@ -206,9 +206,34 @@ def main():
     log(f"step compiled+first-run in {compile_s:.1f}s")
 
     oracle_ips = ORACLE_IPS_65K * (ORACLE_PTS / N_PTS)
+    pf_fwd, pf_bwd = pallas_flops(key_cap, W, H)
 
-    # analytic FLOPs (free: .lower() on the already-jitted step reuses the
-    # compiled executable; Pallas custom calls counted analytically)
+    # measure in two batches and BANK the preliminary result after the
+    # first, so a watchdog flush mid-run still ships a real value + an
+    # analytic-only MFU (the Pallas composite dominates the step FLOPs)
+    n_iters = int(os.environ.get("MOM_TPU_BENCH_ITERS", 30))
+    n_pre = min(5, n_iters)
+    ips_pre, state, m = time_chained(step, state, n_pre, packed, gts)
+    _result.update(value=round(ips_pre, 3),
+                   vs_baseline=round(ips_pre / oracle_ips, 3))
+    _result["extra"] = {"status": "preliminary", "n_points": N_PTS,
+                        "resolution": f"{W}x{H}",
+                        "step_ms": round(1e3 / ips_pre, 1),
+                        "mfu_vs_v5e_bf16_peak": round(
+                            (pf_fwd + pf_bwd) * ips_pre / V5E_PEAK_BF16, 4),
+                        "compile_s": round(compile_s, 1)}
+    log(f"preliminary: {ips_pre:.3f} it/s over {n_pre} iters")
+    if n_iters > n_pre:
+        tiled_ips, state, m = time_chained(step, state, n_iters - n_pre,
+                                           packed, gts)
+    else:
+        tiled_ips = ips_pre
+    step_s = 1.0 / tiled_ips
+    log(f"tiled: {tiled_ips:.3f} it/s over {n_iters - n_pre} chained iters")
+
+    # exact-graph FLOPs: .lower().compile() may MISS the in-process jit
+    # cache on some backends and recompile, so this runs only after the
+    # measurements are banked
     xla_flops = None
     try:
         lowered = step.lower(state, camb, gtb, jnp.asarray(2.0, jnp.float32),
@@ -219,32 +244,7 @@ def main():
         xla_flops = float(cost.get("flops", 0.0))
     except Exception as e:                                    # noqa: BLE001
         log(f"cost_analysis unavailable: {e}")
-    pf_fwd, pf_bwd = pallas_flops(key_cap, W, H)
     total_flops = (xla_flops or 0.0) + pf_fwd + pf_bwd
-
-    def mfu_of(ips):
-        return round(total_flops * ips / V5E_PEAK_BF16, 4)
-
-    # measure in two batches and BANK the preliminary result after the
-    # first, so a watchdog flush mid-run still ships a real value + MFU
-    n_iters = int(os.environ.get("MOM_TPU_BENCH_ITERS", 30))
-    n_pre = min(5, n_iters)
-    ips_pre, state, m = time_chained(step, state, n_pre, packed, gts)
-    _result.update(value=round(ips_pre, 3),
-                   vs_baseline=round(ips_pre / oracle_ips, 3))
-    _result["extra"] = {"status": "preliminary", "n_points": N_PTS,
-                        "resolution": f"{W}x{H}",
-                        "step_ms": round(1e3 / ips_pre, 1),
-                        "mfu_vs_v5e_bf16_peak": mfu_of(ips_pre),
-                        "compile_s": round(compile_s, 1)}
-    log(f"preliminary: {ips_pre:.3f} it/s over {n_pre} iters")
-    if n_iters > n_pre:
-        tiled_ips, state, m = time_chained(step, state, n_iters - n_pre,
-                                           packed, gts)
-    else:
-        tiled_ips = ips_pre
-    step_s = 1.0 / tiled_ips
-    log(f"tiled: {tiled_ips:.3f} it/s over {n_iters - n_pre} chained iters")
     mfu = total_flops / step_s / V5E_PEAK_BF16
 
     _result.update(value=round(tiled_ips, 3),

@@ -136,6 +136,62 @@ def _gather_packed_rows(cols: list, seg: jnp.ndarray) -> list:
     return out
 
 
+def _rank_by_digit(digits: jnp.ndarray, n_digits: int,
+                   block: int = 256) -> jnp.ndarray:
+    """Stable counting-sort rank: position of each element in the array
+    stably sorted by ``digits`` (values in [0, n_digits)).
+
+    MXU formulation: per 256-element block, a one-hot (block, D) matrix
+    against a triangular matmul gives every element's inclusive prefix
+    count among equal digits; block histograms cumsum across blocks and
+    digit totals cumsum across digits supply the bases.  All integer
+    counts stay <= block in bf16 (exact to 256) and <= 16.7M in fp32.
+
+    This replaces an O(n log^2 n) comparison-sort network with O(n*D/MXU)
+    matmuls + O(n) elementwise — at D <= ~128 digits it is an order of
+    magnitude less work than lax.sort at multi-million n."""
+    N = digits.shape[0]
+    if N % block:
+        block = 128                      # key_cap is always 128-aligned
+    assert N % block == 0, (N, block)
+    nb = N // block
+    d = digits.reshape(nb, block)
+    onehot = (d[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, n_digits), 2)).astype(jnp.bfloat16)
+    tril = jnp.tril(jnp.ones((block, block), jnp.bfloat16))
+    incl = jax.lax.dot_general(
+        tril, onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (block, nb, D)
+    incl = incl.transpose(1, 0, 2)                     # (nb, block, D)
+    rank_in_block = jnp.sum(incl * (onehot != 0), axis=-1) - 1.0
+    hist = incl[:, -1, :]                              # (nb, D)
+    block_base = jnp.cumsum(hist, axis=0) - hist       # (nb, D) exclusive
+    counts = jnp.sum(hist, axis=0)                     # (D,)
+    digit_base = jnp.cumsum(counts) - counts           # (D,)
+    base = jnp.take_along_axis(digit_base[None] + block_base, d, axis=1)
+    return (base + rank_in_block).astype(jnp.int32).reshape(N)
+
+
+def _radix_sort_tiles(tile_id: jnp.ndarray, grid_x: int, num_tiles: int):
+    """Stable sort of ``tile_id`` (pads hold ``num_tiles``) via two
+    counting-sort passes over the (tx, ty) digits; returns
+    (tile_sorted, slot_of_sorted) exactly like the lax.sort path."""
+    n = tile_id.shape[0]
+    gy = num_tiles // grid_x
+    iota = jax.lax.iota(jnp.int32, n)
+    # pass 1: tx digit (pads use gx-1; any fixed digit works — pass 2's
+    # ty=gy sends them after every real instance, stably)
+    tx = jnp.where(tile_id >= num_tiles, grid_x - 1, tile_id % grid_x)
+    r1 = _rank_by_digit(tx, grid_x)
+    src1 = jnp.zeros(n, jnp.int32).at[r1].set(iota, unique_indices=True)
+    t1 = tile_id[src1]
+    # pass 2: ty digit (gy+1 values; pads land at ty=gy)
+    ty = jnp.minimum(t1 // grid_x, gy)
+    r2 = _rank_by_digit(ty, gy + 1)
+    src2 = jnp.zeros(n, jnp.int32).at[r2].set(iota, unique_indices=True)
+    return t1[src2], src1[src2]
+
+
 def bin_gaussians(pre: Preprocessed, width: int, height: int,
                   key_cap: int, row_tiles=None) -> Binning:
     """Exact duplicate-key expansion with a static capacity.
@@ -198,11 +254,18 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     tile_id = jnp.where(in_range, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
     # within a tile, slots must stay ascending = depth ascending (front to
-    # back).  (tile, slot) as TWO explicit keys gives exactly that order
-    # without the hidden iota operand XLA adds to stabilize a 1-key sort —
-    # slots are unique, so the composite key is total and the sort order
-    # equals the stable order.
-    tile_sorted, slot_of_sorted = jax.lax.sort((tile_id, slots), num_keys=2)
+    # back).  Two grouping strategies with identical output:
+    #  - lax.sort on (tile, slot) as TWO explicit keys (no hidden stability
+    #    iota; slots are unique so the composite key is total)
+    #  - MOM_TPU_BIN_RADIX=1: stable two-pass MXU counting sort over the
+    #    (tx, ty) digits (_radix_sort_tiles) — O(n*digits) matmuls instead
+    #    of an O(n log^2 n) comparison network
+    if os.environ.get("MOM_TPU_BIN_RADIX") == "1":
+        tile_sorted, slot_of_sorted = _radix_sort_tiles(tile_id, grid_x,
+                                                        num_tiles)
+    else:
+        tile_sorted, slot_of_sorted = jax.lax.sort((tile_id, slots),
+                                                   num_keys=2)
     gid_sorted = gid_f[slot_of_sorted]
 
     # per-tile counts via one-sided diff of first-occurrence positions:

@@ -191,3 +191,28 @@ def test_row_band_rendering_matches_full():
     # instance grads in global depth order; the off-band ones are exact
     # zeros only in real math) — pure fp32 reordering noise
     np.testing.assert_allclose(g_band, g_full, atol=3e-4)
+
+
+def test_radix_binning_matches_sort_binning(monkeypatch):
+    """MOM_TPU_BIN_RADIX=1 (MXU counting sort over tx/ty digits) must
+    produce the exact same Binning as the lax.sort path, including pads
+    and key_cap overflow."""
+    import os
+    from mom_tpu.ops.rasterize import bin_gaussians
+    for n, cap in ((120, 4096), (120, 512)):        # no-overflow + overflow
+        cam, params = make_scene(n=n, width=48, height=32, seed=3)
+        kwargs = _args(cam, params, bg=jnp.zeros(3))
+        pre = preprocess(
+            kwargs["means3d"], kwargs["scales"], kwargs["rotations"],
+            kwargs["opacities"], kwargs["shs"], kwargs["viewmatrix"],
+            kwargs["projmatrix"], kwargs["campos"], kwargs["tanfovx"],
+            kwargs["tanfovy"], 48, 32)
+        monkeypatch.delenv("MOM_TPU_BIN_RADIX", raising=False)
+        a = bin_gaussians(pre, 48, 32, key_cap=cap)
+        monkeypatch.setenv("MOM_TPU_BIN_RADIX", "1")
+        b = bin_gaussians(pre, 48, 32, key_cap=cap)
+        monkeypatch.delenv("MOM_TPU_BIN_RADIX", raising=False)
+        for name in a._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                err_msg=f"{name} cap={cap}")
