@@ -368,6 +368,38 @@ def _breakdown(state, deform_cfg, key_cap, W, H, camb):
                state.deform)
     except Exception as e:                                    # noqa: BLE001
         log(f"deform grad breakdown n/a: {e}")
+
+    # composite-only and pack+composite fwd+bwd (the Pallas backward kernel
+    # and the _expand_rows segment-sum VJP, isolated)
+    feat = R._pack_features(pre, binning, key_cap)
+
+    def comp_loss(f):
+        acc, logt = R._composite(f, binning.chunk_tile, binning.tile_starts,
+                                 binning.tile_ends, binning.slot_valid, W, H)
+        return jnp.sum(acc * acc) + jnp.sum(logt)
+
+    timeit("composite_fwd+bwd", lambda f: jax.grad(comp_loss)(f), feat)
+
+    def packcomp_loss(pr):
+        f = R._pack_features(pr, binning, key_cap)
+        acc, logt = R._composite(f, binning.chunk_tile, binning.tile_starts,
+                                 binning.tile_ends, binning.slot_valid, W, H)
+        return jnp.sum(acc * acc) + jnp.sum(logt)
+
+    timeit("pack+composite_fwd+bwd",
+           lambda pr: jax.grad(packcomp_loss)(pr).means2d, pre)
+
+    # full render + L1, fwd+bwd w.r.t. params (= loss.backward without
+    # Adam/stats)
+    def render_loss(p):
+        col = render_fn(p, aux, state.deform, deform_cfg, cam, W, H,
+                        jnp.zeros(3), stage="fine", active_sh_degree=3,
+                        delta_scale=1.0, key_cap=key_cap,
+                        backend="tiled").color
+        return jnp.mean(jnp.abs(col - 0.5))
+
+    timeit("render+l1_fwd+bwd",
+           lambda p: jax.grad(render_loss)(p).xyz, params)
     return out
 
 
