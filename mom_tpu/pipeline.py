@@ -145,6 +145,66 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     # the first periodic snapshot can still rewind (chunked pull — see
     # data/checkpoints.chunked_device_get)
     last_good = ckpt.chunked_device_get(state)
+
+    # Pre-compile every structural-iteration program this stage will need.
+    # Their first use is mid-run (e.g. the fine-3000 opacity reset), and a
+    # cold compile there goes out as a multi-minute device RPC; if the
+    # tunnel wedges on it, the stall watchdog rewinds to the last
+    # checkpoint and replays hundreds of iterations only to hit the same
+    # cold compile again.  Warming here moves those compiles into the
+    # startup window, where a watchdog restart is nearly free.  The step
+    # and the ops donate their state argument, so each warms on a
+    # throwaway device copy.
+    first_dens = first_prune = first_reset = None
+    for it in range(first_iter + 1, final_iter + 1):
+        d, p, r = sched.structural_actions(it, num_alive)
+        if d and first_dens is None:
+            first_dens = it
+        if p and first_prune is None:
+            first_prune = it
+        if r and first_reset is None:
+            first_reset = it
+        if first_dens and first_prune and first_reset:
+            break
+    if ((first_dens or first_prune or first_reset)
+            and os.environ.get("MOM_TPU_NO_WARM_STRUCTURAL") != "1"):
+        camb0 = {k: jnp.asarray(v[0:1]) for k, v in packed.items()}
+        gtb0 = jnp.asarray(gts[0:1])
+
+        def _warm(name, fn, *args):
+            t0 = time.time()
+            try:
+                # copy only device arrays: wrapping non-array leaves would
+                # change the jit signature vs the real call and waste the warm
+                copy = jax.tree.map(
+                    lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+                    state)
+                out = fn(copy, *args)
+                jax.block_until_ready(
+                    jax.tree.leaves(out)[0] if jax.tree.leaves(out) else out)
+                del out
+                print(f"warm: {name} compiled ({time.time() - t0:.0f}s)",
+                      flush=True)
+            except Exception as e:                            # noqa: BLE001
+                print(f"warm: {name} failed ({e}); will compile lazily",
+                      flush=True)
+
+        _warm("frozen step",
+              lambda s: step(s, camb0, gtb0,
+                             jnp.asarray(float(first_iter + 1), jnp.float32),
+                             jnp.asarray(sh_degree, jnp.int32),
+                             freeze_points=True))
+        if first_dens is not None:
+            _warm("densify", densify_op, sched.thresholds(first_dens)[1],
+                  opt_cfg.percent_dense, scene.cameras_extent)
+        if first_prune is not None:
+            st = sched.size_threshold(first_prune)
+            _warm("prune", prune_op, sched.thresholds(first_prune)[0],
+                  scene.cameras_extent, st if st is not None else 0.0,
+                  st is not None)
+        if first_reset is not None:
+            _warm("opacity reset", reset_opacity_op)
+
     gui_rf = None
     # one-step-lagged NaN probe: the previous iteration's loss is fetched
     # after the current step is dispatched, so the host never blocks on the
