@@ -168,7 +168,10 @@ def make_ps_train_step(mesh: Mesh, opt_cfg, hidden_cfg,
         rmask = (rows < height).astype(jnp.float32)[:, None, None]
         abs_sum = jax.lax.psum(
             jnp.sum(jnp.abs(out.color - gtf) * rmask), AXIS)
-        n_px = jax.lax.psum(jnp.sum(rmask) * 3.0, AXIS)
+        # rmask is (band_h, 1, 1): its sum counts ROWS, so multiply the
+        # row count out to pixels*channels (this denominator was W× short,
+        # scaling the TP loss and its gradients by W)
+        n_px = jax.lax.psum(jnp.sum(rmask) * (width * 3.0), AXIS)
         ll1 = abs_sum / n_px
         loss = ll1
         if use_tv:
@@ -176,12 +179,29 @@ def make_ps_train_step(mesh: Mesh, opt_cfg, hidden_cfg,
                 deform["grid"], hidden_cfg.time_smoothness_weight,
                 hidden_cfg.l1_time_planes, hidden_cfg.plane_tv_weight)
         if use_ssim:
-            # band-local SSIM mean (window never crosses band seams in the
-            # reference metric's 11px window only approximately — documented
-            # deviation of the sharded loss)
-            loss = loss + opt_cfg.lambda_dssim * (
-                1.0 - jax.lax.pmean(losses.ssim(out.color * rmask,
-                                                gtf * rmask), AXIS))
+            # globally-exact SSIM: exchange a 5-row halo with the band
+            # neighbors over ICI so the 11px window sees real rows across
+            # band seams.  ppermute delivers ZEROS on missing links (device
+            # 0's top, device n-1's bottom), which is exactly the
+            # reference's zero-padded conv at the image border
+            # (utils/loss_utils.py:52-92, torch conv2d padding=5); rows
+            # beyond the true image height are zero-masked on both inputs,
+            # again matching the zero padding at the bottom border.
+            pad = 5
+            col_m = out.color * rmask
+            gt_m = gtf * rmask
+
+            def halo_extend(x):
+                top = jax.lax.ppermute(
+                    x[-pad:], AXIS, [(i, i + 1) for i in range(n_dev - 1)])
+                bot = jax.lax.ppermute(
+                    x[:pad], AXIS, [(i + 1, i) for i in range(n_dev - 1)])
+                return jnp.concatenate([top, x, bot], axis=0)
+
+            smap = losses.ssim_map(halo_extend(col_m),
+                                   halo_extend(gt_m))[0, pad:pad + band_h]
+            ssim_mean = jax.lax.psum(jnp.sum(smap * rmask), AXIS) / n_px
+            loss = loss + opt_cfg.lambda_dssim * (1.0 - ssim_mean)
         mse = jax.lax.psum(jnp.sum(((out.color - gtf) * rmask) ** 2),
                            AXIS) / n_px
         psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))

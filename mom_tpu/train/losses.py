@@ -35,6 +35,13 @@ def ssim(img1, img2, window_size: int = 11):
     """SSIM with an 11x11 separable gaussian window, matching the reference
     (utils/loss_utils.py:52-92: per-channel depthwise conv, same padding).
     Inputs (H, W, C) or (B, H, W, C) in [0, 1]."""
+    return ssim_map(img1, img2, window_size).mean()
+
+
+def ssim_map(img1, img2, window_size: int = 11):
+    """Per-pixel SSIM map (B, H, W, C); ``ssim`` is its mean.  Exposed so
+    the point-sharded loss can crop the rows of its image band out of a
+    halo-extended computation (parallel/point_sharded.py)."""
     if img1.ndim == 3:
         img1 = img1[None]
         img2 = img2[None]
@@ -59,6 +66,5 @@ def ssim(img1, img2, window_size: int = 11):
     sigma2_sq = blur(img2 * img2) - mu2_sq
     sigma12 = blur(img1 * img2) - mu1_mu2
     C1, C2 = 0.01 ** 2, 0.03 ** 2
-    ssim_map = (((2 * mu1_mu2 + C1) * (2 * sigma12 + C2))
-                / ((mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)))
-    return ssim_map.mean()
+    return (((2 * mu1_mu2 + C1) * (2 * sigma12 + C2))
+            / ((mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)))

@@ -138,6 +138,57 @@ def test_point_sharded_step_runs_and_learns():
 
 
 @pytest.mark.parity
+def test_point_sharded_ssim_loss_matches_replicated():
+    """With lambda_dssim on, the sharded loss must equal the replicated
+    step's loss: the 5-row halo exchange makes the band SSIM globally
+    exact (ppermute's zero fill on missing links = the reference conv's
+    zero padding at the image border)."""
+    from mom_tpu.train.loop import make_train_step
+    from mom_tpu.parallel.point_sharded import (make_points_mesh,
+                                                make_ps_train_step,
+                                                shard_state, pad_gt_rows)
+    state, dcfg = _toy_state(n=64, capacity=128)
+    W, H = 64, 48                  # H not divisible by the band split:
+    opt = C.OptimizationParams()   # exercises the masked bottom rows
+    opt.lambda_dssim = 0.25
+    hidden = C.ModelHiddenParams()
+    packed, gts = _cams_and_gts(1, W, H, state, dcfg)
+
+    key = jax.random.PRNGKey(1)
+    pert = state.gauss.params._replace(
+        features_dc=state.gauss.params.features_dc
+        + 0.3 * jax.random.normal(key, state.gauss.params.features_dc.shape))
+    state = state._replace(gauss=state.gauss._replace(params=pert))
+
+    rep_step = make_train_step(opt, hidden, dcfg, W, H, "coarse",
+                               spatial_lr_scale=3.0, bg=(0, 0, 0),
+                               key_cap=4096, backend="tiled")
+    camb = {k: jnp.asarray(v[0:1]) for k, v in packed.items()}
+    state_rep = jax.tree.map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+    _, m_rep = rep_step(state_rep, camb, jnp.asarray(gts[0:1]),
+                        jnp.asarray(1.0, jnp.float32),
+                        jnp.asarray(0, jnp.int32))
+
+    mesh = make_points_mesh(4)
+    build, band_h, hpad = make_ps_train_step(
+        mesh, opt, hidden, dcfg, W, H, "coarse", spatial_lr_scale=3.0,
+        bg=(0, 0, 0), key_cap=4096)
+    step = build(state)
+    state_ps = shard_state(state, mesh)
+    cam = {k: jnp.asarray(v[0]) for k, v in packed.items()}
+    gt = jnp.asarray(pad_gt_rows(gts[0], hpad))
+    _, m_ps = step(state_ps, cam, gt, jnp.asarray(1.0, jnp.float32),
+                   jnp.asarray(0, jnp.int32))
+
+    assert np.isfinite(float(m_ps["loss"]))
+    np.testing.assert_allclose(float(m_ps["l1"]), float(m_rep["l1"]),
+                               atol=2e-6)
+    np.testing.assert_allclose(float(m_ps["loss"]), float(m_rep["loss"]),
+                               atol=2e-5)
+
+
+@pytest.mark.parity
 def test_point_sharded_structural_ops():
     """Sharded densify/prune/opacity-reset run shard-locally inside the TP
     path (no full-model gather) and preserve the structural invariants:
