@@ -176,6 +176,13 @@ def main():
     signal.alarm(max(int(BUDGET - 45), 60))
 
     import jax
+    if os.environ.get("MOM_TPU_BENCH_CPU") == "1":
+        # harness smoke-testing without touching the chip: this machine's
+        # JAX install force-registers the 'axon' TPU platform and IGNORES
+        # JAX_PLATFORMS, so the backend must be pinned post-import (same
+        # workaround as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault("MOM_TPU_INTERPRET", "1")
     import jax.numpy as jnp
     from mom_tpu.train.loop import make_train_step
     from mom_tpu.ops.rasterize import default_key_cap
@@ -400,6 +407,27 @@ def _breakdown(state, deform_cfg, key_cap, W, H, camb):
 
     timeit("render+l1_fwd+bwd",
            lambda p: jax.grad(render_loss)(p).xyz, params)
+
+    # SSIM term alone (11x11 window conv fwd+bwd on the full image) and the
+    # Adam apply: the two step components outside the render graph
+    from mom_tpu.train import losses as L
+    img = jnp.linspace(0, 1, H * W * 3, dtype=jnp.float32).reshape(1, H, W, 3)
+
+    def ssim_loss(x):
+        return 1.0 - L.ssim(x, img * 0.9)
+
+    timeit("ssim_fwd+bwd", lambda x: jax.grad(ssim_loss)(x), img)
+
+    from mom_tpu.train import optim as O
+    try:
+        gtree = {"xyz": params.xyz, "f_dc": G.get_features(params)}
+        m0 = O.init_adam(gtree)
+        grads = jax.tree.map(jnp.ones_like, gtree)
+        lrs = {"xyz": 1e-3, "f_dc": 1e-3}
+        timeit("adam_xyz+feat",
+               lambda g: O.adam_step(gtree, g, m0, lrs)[0]["xyz"], grads)
+    except Exception as e:                                    # noqa: BLE001
+        log(f"adam probe n/a: {e}")
     return out
 
 

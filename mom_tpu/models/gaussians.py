@@ -21,6 +21,7 @@ exp scales, sigmoid opacity, L2-normalized quaternions.
 
 from __future__ import annotations
 
+import sys as _sys
 from typing import NamedTuple
 
 import jax
@@ -92,7 +93,10 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray,
     logit of 0.1, scene_flow scaled by flow_scale."""
     n = points.shape[0]
     assert n <= capacity, (n, capacity)
-    print(f"Number of points at initialisation : {n}")
+    # reference's init banner (gaussian_model.py:156) — stderr so scripts
+    # with machine-readable stdout (bench.py's single JSON line) stay clean
+    print(f"Number of points at initialisation : {n}",
+          file=_sys.stderr, flush=True)
 
     if n > 200_000:
         # Morton-window approximation for big clouds — the reference's

@@ -33,6 +33,13 @@ class DepthEstimator:
         if backend == "auto":
             backend = "zoe" if (ckpt_path and os.path.exists(ckpt_path)) \
                 else "procedural"
+            if backend == "procedural":
+                import sys
+                print("[mom_tpu] WARNING: no ZoeDepth checkpoint — using the "
+                      "weight-free PROCEDURAL depth prior. Output quality is "
+                      "NOT ZoeDepth quality; place ZoeD_M12_N.pt under the "
+                      "--cinema_ckpt dir to use real weights.",
+                      file=sys.stderr, flush=True)
         self.backend = backend
         self.ckpt_path = ckpt_path
         self._zoe = None

@@ -117,6 +117,13 @@ def _area_resize(x: jnp.ndarray, hw: tuple) -> jnp.ndarray:
 class FlowEstimator:
     def __init__(self, backend: str = "hints", ckpt_path: str | None = None):
         if backend == "auto":
+            if not (ckpt_path and os.path.exists(ckpt_path)):
+                import sys
+                print("[mom_tpu] WARNING: no SPADE-UNet checkpoint — using "
+                      "the weight-free HINTS flow backend. Output quality is "
+                      "NOT learned-flow quality; place sceneflow_model.pth "
+                      "under the --cinema_ckpt dir to use real weights.",
+                      file=sys.stderr, flush=True)
             backend = "spade" if (ckpt_path and os.path.exists(ckpt_path)) \
                 else "hints"
         self.backend = backend

@@ -38,6 +38,13 @@ def generate_loop_frames(image: np.ndarray, flow: np.ndarray,
     if backend == "auto":
         backend = "stylegan" if (sg2_ckpt and os.path.exists(sg2_ckpt)) \
             else "pixel"
+        if backend == "pixel":
+            import sys
+            print("[mom_tpu] WARNING: no StyleGAN2 checkpoint — using the "
+                  "weight-free PIXEL-WARP video backend. Output quality is "
+                  "NOT StyleCineGAN quality; place sg2-lhq-1024.pt under "
+                  "the --cinema_ckpt dir to use real weights.",
+                  file=sys.stderr, flush=True)
     if backend == "stylegan":
         return _stylegan_loop_frames(image, flow, mask, n_frames,
                                      sg2_ckpt, encoder_ckpt)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 
 import numpy as np
 
@@ -24,7 +25,8 @@ def _compile() -> bool:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except Exception as e:
-        print(f"momnative: compile failed ({e}); using python fallbacks")
+        print(f"momnative: compile failed ({e}); using python fallbacks",
+              file=sys.stderr, flush=True)
         return False
 
 
@@ -55,7 +57,8 @@ def _lib():
                                     ctypes.POINTER(ctypes.c_float)]
         _LIB = lib
     except OSError as e:
-        print(f"momnative: load failed ({e}); using python fallbacks")
+        print(f"momnative: load failed ({e}); using python fallbacks",
+              file=sys.stderr, flush=True)
     return _LIB
 
 

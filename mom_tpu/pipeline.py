@@ -437,14 +437,20 @@ def render_trajectory(state: TrainState, deform_cfg, cams: list[Camera],
             img.block_until_ready()
             t1 = time.time()   # exclude frame-0 compile, like a warm run
         device_frames.append(img)
+    # FPS is render compute only (the reference synchronizes the stream and
+    # prints (len-1)/(t2-t1) before any host save, render_4DGS.py:61-71):
+    # block on the LAST queued render — in-order execution means all prior
+    # frames are done — then pull to host outside the timed window.
+    if device_frames:
+        device_frames[-1].block_until_ready()
+    t2 = time.time()
+    fps = (len(cams) - 1) / max(t2 - t1, 1e-9)
     frames = [np.asarray(f) for f in device_frames]
     if frames and frames[0].dtype != np.uint8:
         # a float rf was passed in: quantize on host (never truncate —
         # round-2's stage-3 export wrote all-black PNGs through this seam)
         frames = [(np.clip(f, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
                   for f in frames]
-    t2 = time.time()
-    fps = (len(cams) - 1) / max(t2 - t1, 1e-9)
     return frames, fps
 
 

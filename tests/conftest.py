@@ -13,11 +13,21 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("MOM_TPU_INTERPRET", "1")  # pallas interpreter mode
+# mom_tpu disables the JAX compilation cache by default (remote-TPU tunnel
+# wedges serving Mosaic programs through it — RESULTS.md round-2 notes).
+# That failure mode is TPU-tunnel-specific; for the CPU suite a persistent
+# cache cuts repeat-run wall time several-fold on this 1-core machine.
+os.environ.setdefault("MOM_TPU_COMPCACHE", "1")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+if os.environ.get("MOM_TPU_COMPCACHE") == "1":
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_test_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
