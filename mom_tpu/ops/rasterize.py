@@ -68,10 +68,29 @@ def _interpret() -> bool:
 def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive cumulative sum along the lane axis (axis 1) as an MXU
     contraction with a triangular ones matrix — Pallas TPU has no cumsum
-    lowering, and a [*, 128] x [128, 128] matmul is effectively free."""
+    lowering, and a [*, 128] x [128, 128] matmul is effectively free.
+
+    MOM_TPU_MXU_SPLIT=k (k=2,3): run the contraction as k bf16 passes
+    instead of one fp32 matmul (Mosaic lowers fp32 MXU contractions to
+    multiple bf16 passes internally).  The triangular mask is 0/1 — exactly
+    bf16-representable — so splitting only x into k bf16 magnitude terms
+    loses just the last term's rounding: abs error <= 2^-9k * |x| per
+    element (k=3 passes the 1e-5 rasterizer parity bar; k=2 is ~1e-4)."""
     n = x.shape[1]
     ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    k = int(os.environ.get("MOM_TPU_MXU_SPLIT", "0") or 0)
+    if k >= 2:
+        tri = (ii <= jj).astype(jnp.bfloat16)
+        out = None
+        resid = x
+        for _ in range(k):
+            term = resid.astype(jnp.bfloat16)
+            resid = resid - term.astype(jnp.float32)
+            part = jax.lax.dot_general(term, tri, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            out = part if out is None else out + part
+        return out
     tri = (ii <= jj).astype(x.dtype)
     return jax.lax.dot_general(x, tri, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)

@@ -216,3 +216,31 @@ def test_radix_binning_matches_sort_binning(monkeypatch):
             np.testing.assert_array_equal(
                 np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
                 err_msg=f"{name} cap={cap}")
+
+
+def test_mxu_split_cumsum_parity(monkeypatch):
+    """MOM_TPU_MXU_SPLIT=k runs the compositing transmittance cumsum as k
+    bf16 MXU passes; k=3 must match the fp32 path to ~1e-5 (forward AND
+    gradients), k=2 to ~1e-3."""
+    cam, params = make_scene(n=120, width=48, height=32, seed=5)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    means, scales, q, opac, shs = params
+
+    def color_and_grad():
+        def loss(op):
+            kw = _args(cam, (means, scales, q, op, shs), bg=bg, key_cap=4096)
+            return jnp.sum(rasterize_tiled(**kw).color[:16] ** 2)
+        kw = _args(cam, params, bg=bg, key_cap=4096)
+        return (np.asarray(rasterize_tiled(**kw).color),
+                np.asarray(jax.grad(loss)(opac)))
+
+    monkeypatch.delenv("MOM_TPU_MXU_SPLIT", raising=False)
+    c_ref, g_ref = color_and_grad()
+    for k, atol_c, atol_g in ((3, 2e-5, 2e-4), (2, 2e-3, 2e-2)):
+        monkeypatch.setenv("MOM_TPU_MXU_SPLIT", str(k))
+        c_k, g_k = color_and_grad()
+        np.testing.assert_allclose(c_k, c_ref, atol=atol_c,
+                                   err_msg=f"color split={k}")
+        np.testing.assert_allclose(g_k, g_ref, atol=atol_g,
+                                   err_msg=f"grad split={k}")
+    monkeypatch.delenv("MOM_TPU_MXU_SPLIT", raising=False)
