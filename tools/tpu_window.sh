@@ -39,4 +39,13 @@ run bench_720p_radix 2400 MOM_TPU_BENCH_BUDGET=2200 \
 run bench_512_radix 1500 MOM_TPU_BENCH_BUDGET=1400 MOM_TPU_BIN_RADIX=1 \
     -- python bench.py
 
+# 5. k-pass bf16 split cumsum A/B at production scale
+run bench_720p_split3 2400 MOM_TPU_BENCH_BUDGET=2200 \
+    MOM_TPU_BENCH_PTS=921600 MOM_TPU_BENCH_RES=1280x720 \
+    MOM_TPU_BENCH_ITERS=12 MOM_TPU_MXU_SPLIT=3 -- python bench.py
+
+# 6. band-sharding locality demonstration (TP design, one chip)
+run band_locality 1800 NONE=1 -- python tools/band_locality.py \
+    921600 1280x720 4 10
+
 echo "window complete; results in $OUT" | tee -a "$OUT/window.log"
