@@ -49,7 +49,13 @@ from .rasterize_ref import tile_rect, TILE, ALPHA_MIN, ALPHA_MAX, T_EPS
 
 import numpy as np
 
-CHUNK = 128          # gaussian instances per inner step (lane dimension)
+# gaussian instances per inner step (lane dimension).  128 is the MXU
+# native width; 256 halves the chunk count (grid steps + per-tile padding
+# waste) at the cost of doubling the triangular-cumsum FLOPs — which wins
+# depends on whether the kernel is overhead- or MXU-bound, so it is
+# env-tunable for on-chip A/B (read once at import; compiled shapes).
+CHUNK = int(os.environ.get("MOM_TPU_CHUNK", "128"))
+assert CHUNK % 128 == 0, CHUNK
 NFEAT = 16           # padded feature rows (sublane dimension)
 LOG_T_EPS = float(np.log(T_EPS))
 

@@ -244,3 +244,46 @@ def test_mxu_split_cumsum_parity(monkeypatch):
         np.testing.assert_allclose(g_k, g_ref, atol=atol_g,
                                    err_msg=f"grad split={k}")
     monkeypatch.delenv("MOM_TPU_MXU_SPLIT", raising=False)
+
+
+@pytest.mark.parity
+def test_chunk_256_parity():
+    """MOM_TPU_CHUNK=256 (half the grid steps, double cumsum FLOPs) must
+    match the oracle exactly like the default 128 path.  CHUNK is read at
+    module import, so this runs in a subprocess."""
+    import subprocess, sys, os
+    code = """
+import os
+os.environ["MOM_TPU_INTERPRET"] = "1"
+os.environ["MOM_TPU_CHUNK"] = "256"
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+import sys; sys.path.insert(0, %r)
+from tests.test_rasterize_ref import make_scene
+from mom_tpu.ops.rasterize_ref import rasterize_reference
+from mom_tpu.ops.rasterize import rasterize_tiled
+from tests.test_rasterize_tiled import _args
+cam, params = make_scene(n=120, width=48, height=32, seed=3)
+bg = jnp.array([0.2, 0.3, 0.4])
+ref = rasterize_reference(**_args(cam, params, bg=bg))
+til = rasterize_tiled(**_args(cam, params, bg=bg))
+np.testing.assert_allclose(np.asarray(til.color), np.asarray(ref.color),
+                           atol=2e-4)
+def loss(op):
+    means, scales, q, opac, shs = params
+    kw = _args(cam, (means, scales, q, op, shs), bg=bg, key_cap=4096)
+    return jnp.sum(rasterize_tiled(**kw).color[:16] ** 2)
+def loss_ref(op):
+    means, scales, q, opac, shs = params
+    kw = _args(cam, (means, scales, q, op, shs), bg=bg)
+    return jnp.sum(rasterize_reference(**kw).color[:16] ** 2)
+np.testing.assert_allclose(np.asarray(jax.grad(loss)(params[3])),
+                           np.asarray(jax.grad(loss_ref)(params[3])),
+                           atol=3e-4)
+print("OK")
+"""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", code % root], cwd=root,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout

@@ -44,6 +44,11 @@ run bench_720p_split3 2400 MOM_TPU_BENCH_BUDGET=2200 \
     MOM_TPU_BENCH_PTS=921600 MOM_TPU_BENCH_RES=1280x720 \
     MOM_TPU_BENCH_ITERS=12 MOM_TPU_MXU_SPLIT=3 -- python bench.py
 
+# 5b. CHUNK=256 A/B at production scale
+run bench_720p_chunk256 2400 MOM_TPU_BENCH_BUDGET=2200 \
+    MOM_TPU_BENCH_PTS=921600 MOM_TPU_BENCH_RES=1280x720 \
+    MOM_TPU_BENCH_ITERS=12 MOM_TPU_CHUNK=256 -- python bench.py
+
 # 6. band-sharding locality demonstration (TP design, one chip)
 run band_locality 1800 NONE=1 -- python tools/band_locality.py \
     921600 1280x720 4 10
