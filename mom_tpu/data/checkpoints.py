@@ -239,6 +239,63 @@ def load_train_state(path: str, state_template):
     return jax.tree.unflatten(treedef, leaves), extra
 
 
+_POINT_GROUPS = ("xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation")
+
+
+def compact_train_state(state, headroom: float = 2.5,
+                        min_capacity: int = 65_536, align: int = 1024):
+    """Shrink a (host-leaf) TrainState's point capacity to
+    ~``headroom * num_alive`` by gathering the alive rows to the front.
+
+    The fixed-capacity design (models/gaussians.py) keeps every per-point
+    buffer at the stage-entry high-water mark so jitted shapes never change
+    — but after a big prune (e.g. the reference's iteration-8000 pruning,
+    train_4DGS.py:279: 921k -> 96k alive on the demo scene) that makes
+    every sort/gather/deform/Adam pass do ~10x dead work.  The reference
+    reallocates its torch tensors instead (gaussian_model.py:424-509).
+    Re-basing capacity at RESUME time is the jit-native equivalent: all
+    programs compile at the new static shapes after this returns, and the
+    ``headroom`` keeps free slots for densification regrowth (a saturated
+    densify is a graceful no-op for the extra candidates).
+
+    Row order is preserved, Adam moments and densification stats follow
+    their rows, deformation-field groups are untouched.  Returns
+    ``(state, compacted: bool)``; no-op when the shrink would not at least
+    halve the capacity (hysteresis — a recompile costs minutes through a
+    remote-TPU tunnel)."""
+    gauss = state.gauss
+    C = int(gauss.capacity)
+    alive = np.asarray(gauss.aux.alive)
+    n = int(alive.sum())
+    new_cap = max(int(n * headroom), min_capacity)
+    new_cap = ((new_cap + align - 1) // align) * align
+    if new_cap >= C // 2:
+        return state, False
+    idx = np.flatnonzero(alive)
+
+    def take(x):
+        x = np.asarray(x)
+        assert x.ndim >= 1 and x.shape[0] == C, (x.shape, C)
+        out = np.zeros((new_cap,) + x.shape[1:], x.dtype)
+        out[:n] = x[idx]
+        return out
+
+    new_gauss = jax.tree.map(take, gauss)
+    # dead-slot fills match create_from_pcd (invisible even if a mask slips)
+    from ..models.gaussians import DEAD_SCALE, DEAD_OPACITY
+    p = new_gauss.params
+    p.scaling[n:] = DEAD_SCALE
+    p.opacity[n:] = DEAD_OPACITY
+    adam = state.adam
+    new_m = {g: (jax.tree.map(take, v) if g in _POINT_GROUPS else v)
+             for g, v in adam.m.items()}
+    new_v = {g: (jax.tree.map(take, v) if g in _POINT_GROUPS else v)
+             for g, v in adam.v.items()}
+    return (state._replace(gauss=new_gauss,
+                           adam=adam._replace(m=new_m, v=new_v)),
+            True)
+
+
 def free_device_tree(tree):
     """Explicitly delete every jax.Array buffer in a pytree (the python
     references may be kept alive by closures; .delete() frees HBM now)."""

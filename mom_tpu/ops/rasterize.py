@@ -684,6 +684,7 @@ class TiledRenderOutput(NamedTuple):
     final_T: jnp.ndarray   # (H, W)
     radii: jnp.ndarray     # (P,)
     overflow: jnp.ndarray  # () int32 dropped instances (monitor; should be 0)
+    num_keys: jnp.ndarray = None  # () int32 surviving instances (<= key_cap)
 
 
 def default_key_cap(num_points: int, avg_tiles: float = 4.0) -> int:
@@ -737,4 +738,5 @@ def rasterize_preprocessed(pre: Preprocessed, width: int, height: int, bg,
     final_T = jnp.exp(logt)
     color = acc[..., :3] + final_T[..., None] * jnp.asarray(bg, acc.dtype)
     return TiledRenderOutput(color=color, depth=acc[..., 3], final_T=final_T,
-                             radii=pre.radii, overflow=binning.overflow)
+                             radii=pre.radii, overflow=binning.overflow,
+                             num_keys=binning.num_keys)

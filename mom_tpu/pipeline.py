@@ -294,7 +294,9 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             if progress:
                 print(f"[{stage} {iteration}/{final_iter}] "
                       f"loss={m['loss']:.5f} psnr={m['psnr']:.2f} "
-                      f"points={int(m['points'])} overflow={int(m['overflow'])}",
+                      f"points={int(m['points'])} "
+                      f"inst={int(m.get('instances', 0))} "
+                      f"overflow={int(m['overflow'])}",
                       flush=True)
             # non-finite losses rewind within a few iterations via the
             # polled probe above (replaces the reference's os.execv restart,

@@ -28,6 +28,7 @@ class RenderResult(NamedTuple):
     final_T: jnp.ndarray
     radii: jnp.ndarray
     overflow: jnp.ndarray   # 0 for the oracle backend
+    instances: jnp.ndarray = None  # surviving duplicate-key instances (0 oracle)
 
 
 def render(params: G.GaussianParams, aux: G.GaussianAux,
@@ -77,8 +78,11 @@ def render(params: G.GaussianParams, aux: G.GaussianAux,
     if backend == "tiled":
         out = rasterize_tiled(**common, key_cap=key_cap)
         overflow = out.overflow
+        instances = out.num_keys
     else:
         out = rasterize_reference(**common)
         overflow = jnp.zeros((), jnp.int32)
+        instances = jnp.zeros((), jnp.int32)
     return RenderResult(color=out.color, depth=out.depth, final_T=out.final_T,
-                        radii=out.radii, overflow=overflow)
+                        radii=out.radii, overflow=overflow,
+                        instances=instances)

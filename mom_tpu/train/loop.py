@@ -117,11 +117,13 @@ def make_train_step(opt_cfg, hidden_cfg, deform_cfg: D.DeformConfig,
             color = out.color[None]
             radii = out.radii[None]
             overflow = out.overflow
+            instances = out.instances
         else:
             out = jax.vmap(render_one)(cams, offset)
             color = out.color
             radii = out.radii
             overflow = jnp.max(out.overflow)
+            instances = jnp.max(out.instances)
 
         gt = gts.astype(jnp.float32) / 255.0
         ll1 = losses.l1_loss(color, gt)
@@ -136,7 +138,8 @@ def make_train_step(opt_cfg, hidden_cfg, deform_cfg: D.DeformConfig,
             from . import lpips as LP
             loss = loss + lambda_lpips * LP.lpips_distance(lpips_params,
                                                            color, gt)
-        aux_out = (ll1, losses.psnr(color, gt), radii, overflow)
+        aux_out = (ll1, losses.psnr(color, gt), radii, overflow,
+                   instances)
         return loss, aux_out
 
     @functools.partial(jax.jit, donate_argnums=(0,),
@@ -149,7 +152,8 @@ def make_train_step(opt_cfg, hidden_cfg, deform_cfg: D.DeformConfig,
         offset = jnp.zeros((nb, C, 2), jnp.float32)
 
         statics = _deform_statics(state.deform)
-        (loss, (ll1, psnr, radii, overflow)), grads = jax.value_and_grad(
+        (loss, (ll1, psnr, radii, overflow, instances)), grads = \
+            jax.value_and_grad(
             loss_fn, argnums=(0, 6), has_aux=True)(
             groups, statics, state.gauss.aux, cams, gts, sh_degree, offset)
         ggroups, goffset = grads
@@ -173,7 +177,8 @@ def make_train_step(opt_cfg, hidden_cfg, deform_cfg: D.DeformConfig,
             gauss=G.GaussianState(params=params, aux=aux),
             deform=deform, adam=new_adam, rng=state.rng)
         metrics = {"loss": loss, "l1": ll1, "psnr": psnr,
-                   "points": jnp.sum(aux.alive), "overflow": overflow}
+                   "points": jnp.sum(aux.alive), "overflow": overflow,
+                   "instances": instances}
         return new_state, metrics
 
     return step

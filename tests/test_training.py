@@ -196,3 +196,64 @@ def test_coarse_training_improves_psnr():
     assert np.isfinite(float(last["loss"]))
     assert float(last["psnr"]) > first_psnr + 2.0, (first_psnr,
                                                    float(last["psnr"]))
+
+
+def test_compact_resume_capacity():
+    """compact_train_state gathers alive rows (params, stats, Adam moments)
+    into a smaller capacity and training continues with identical dynamics:
+    the post-compact step must produce the same loss as the uncompacted
+    continuation."""
+    from mom_tpu.data import checkpoints as ckpt_io
+
+    state, dcfg = _toy_state(n=64, capacity=4096)
+    opt = config.OptimizationParams()
+    hidden = config.ModelHiddenParams()
+    W = H = 32
+    th = 0.1
+    R = np.array([[np.cos(th), 0, -np.sin(th)], [0, 1, 0],
+                  [np.sin(th), 0, np.cos(th)]])
+    packed = pack_cameras([Camera(R=R, T=np.zeros(3), fovx=0.8, fovy=0.8,
+                                  width=W, height=H, time=0.0, frame_num=0)])
+    camb = {k: jnp.asarray(v[0:1]) for k, v in packed.items()}
+    gts = (np.full((1, H, W, 3), 0.4) * 255).astype(np.uint8)
+
+    step = make_train_step(opt, hidden, dcfg, W, H, "coarse",
+                           spatial_lr_scale=3.0, bg=(0, 0, 0),
+                           backend="reference")
+    for it in range(1, 4):   # build up nonzero Adam moments
+        state, m = step(state, camb, jnp.asarray(gts),
+                        jnp.asarray(float(it), jnp.float32),
+                        jnp.asarray(0, jnp.int32))
+
+    # host leaves (the resume situation), then compact
+    host = jax.tree.map(np.asarray, state)
+    comp, did = ckpt_io.compact_train_state(host, headroom=2.0,
+                                            min_capacity=128, align=128)
+    assert did and comp.gauss.capacity == 128
+    assert int(comp.gauss.num_alive) == int(state.gauss.num_alive) == 64
+    # params and Adam moments follow their rows
+    np.testing.assert_array_equal(np.asarray(comp.gauss.params.xyz[:64]),
+                                  np.asarray(state.gauss.params.xyz[:64]))
+    np.testing.assert_array_equal(np.asarray(comp.adam.m["xyz"][:64]),
+                                  np.asarray(state.adam.m["xyz"][:64]))
+    assert np.any(np.asarray(comp.adam.m["xyz"][:64]) != 0.0)
+    # deformation group untouched
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(comp.adam.m["deformation"])[0]),
+        np.asarray(jax.tree.leaves(state.adam.m["deformation"])[0]))
+
+    # identical training dynamics at the new shapes
+    step_c = make_train_step(opt, hidden, dcfg, W, H, "coarse",
+                             spatial_lr_scale=3.0, bg=(0, 0, 0),
+                             backend="reference")
+    _, m_full = step(state, camb, jnp.asarray(gts),
+                     jnp.asarray(4.0, jnp.float32), jnp.asarray(0, jnp.int32))
+    _, m_comp = step_c(comp, camb, jnp.asarray(gts),
+                       jnp.asarray(4.0, jnp.float32),
+                       jnp.asarray(0, jnp.int32))
+    np.testing.assert_allclose(float(m_comp["loss"]), float(m_full["loss"]),
+                               rtol=1e-5)
+    # hysteresis: a small shrink is refused
+    _, did2 = ckpt_io.compact_train_state(comp, headroom=2.0,
+                                          min_capacity=128, align=128)
+    assert not did2

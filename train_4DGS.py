@@ -79,6 +79,9 @@ def main(argv=None):
     parser.add_argument("--key_cap_mult", type=float, default=4.0,
                         help="instance-buffer headroom as a multiple of the "
                              "initial point count (overflow is logged)")
+    parser.add_argument("--no_compact_resume", action="store_true",
+                        help="disable capacity re-basing on resume (keep "
+                             "the checkpoint's full buffer capacity)")
     parser.add_argument("--trajectory_dir", type=str,
                         default="test_trajectory")
 
@@ -143,6 +146,17 @@ def main(argv=None):
         state = resume_state
         print(f"resuming from {start_ckpt} "
               f"(iteration {int(extra.get('iteration', -1))})", flush=True)
+        if not args.no_compact_resume:
+            # re-base the point capacity on the checkpoint's alive count
+            # (big prunes leave the fixed-capacity buffers ~90% dead; see
+            # compact_train_state).  All jitted programs compile at the new
+            # static shapes below.
+            old_cap = int(state.gauss.capacity)
+            state, did = ckpt_io.compact_train_state(state)
+            if did:
+                print(f"compacted capacity {old_cap} -> "
+                      f"{int(state.gauss.capacity)} "
+                      f"({int(state.gauss.num_alive)} alive)", flush=True)
 
     from mom_tpu.ops.rasterize import CHUNK
     n0 = int(state.gauss.num_alive)
