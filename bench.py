@@ -155,15 +155,21 @@ def pallas_flops(key_cap, width, height):
 
 def time_chained(fn, state, n_iters, packed, gts):
     """Sustained state-chained timing (tunnel rule: only trust chained
-    measurements — unconsumed executions can be elided)."""
+    measurements — unconsumed executions can be elided).  Views are
+    device-resident and sliced on device: per-iteration host->device GT
+    uploads would otherwise bound the measurement on a slow tunnel (the
+    live training loop pre-uploads the same way)."""
     import jax
     import jax.numpy as jnp
+    views = []
+    for vi in range(4):
+        views.append(({k: jnp.asarray(v[vi:vi + 1]) for k, v in packed.items()},
+                      jnp.asarray(gts[vi:vi + 1])))
+    jax.block_until_ready(views[-1][1])
     t0 = time.time()
     m = None
     for i in range(n_iters):
-        vi = i % 4
-        camb = {k: jnp.asarray(v[vi:vi + 1]) for k, v in packed.items()}
-        gtb = jnp.asarray(gts[vi:vi + 1])
+        camb, gtb = views[i % 4]
         state, m = fn(state, camb, gtb,
                       jnp.asarray(float(i + 2), jnp.float32),
                       jnp.asarray(3, jnp.int32))

@@ -235,13 +235,26 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             pending.pop(0)
         return bad
 
+    # Device-resident training set: upload every packed camera and GT image
+    # ONCE and slice per iteration ON DEVICE.  The previous per-iteration
+    # jnp.asarray(gts[vi]) pushed ~2.7MB (1280x720x3) through the device
+    # tunnel every step — on a degraded tunnel that upload, not compute,
+    # set the step rate (observed: step time invariant to a 4.4x capacity
+    # shrink).  The whole set is ~2.8MB/view * n_views (<250MB) of HBM.
+    packed_dev = {k: jnp.asarray(v) for k, v in packed.items()}
+    gts_dev = jnp.asarray(gts)
+
+    @jax.jit
+    def _pick_view(cams, gt, i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i, 1)   # noqa: E731
+        return jax.tree.map(sl, cams), sl(gt)
+
     for iteration in range(first_iter + 1, final_iter + 1):
         if iteration % 1000 == 0 and sh_degree < 3:
             sh_degree += 1
 
         vi = sampler.next()
-        camb = {k: jnp.asarray(v[vi:vi + 1]) for k, v in packed.items()}
-        gtb = jnp.asarray(gts[vi:vi + 1])
+        camb, gtb = _pick_view(packed_dev, gts_dev, vi)
 
         candidate = (iteration < opt_cfg.densify_until_iter
                      and (iteration % opt_cfg.densification_interval == 0
