@@ -21,9 +21,9 @@ from .models import deformation as D
 from .models.hexplane import HexPlaneConfig
 from .render import render as render_fn
 from .train import optim
-from .train.loop import (TrainState, make_train_step, densify_op, prune_op,
-                         reset_opacity_op, Schedule, ViewpointSampler,
-                         _params_by_group)
+from .train.loop import (TrainState, make_train_step, make_chunked_steps,
+                         densify_op, prune_op, reset_opacity_op, Schedule,
+                         ViewpointSampler, _params_by_group)
 from .utils.timer import Timer
 
 
@@ -102,6 +102,16 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     step = make_train_step(opt_cfg, hidden, deform_cfg, W, H, stage,
                            spatial_lr_scale=scene.cameras_extent, bg=bg,
                            key_cap=key_cap, backend=backend)
+    # Device-resident training set: upload every packed camera and GT image
+    # ONCE; iterations slice their view on device (see the loop below — a
+    # per-step ~2.7MB GT upload and a round-trip per dispatch were the
+    # production-scale rate limiters on the device tunnel, not compute).
+    packed_dev = {k: jnp.asarray(v) for k, v in packed.items()}
+    gts_dev = jnp.asarray(gts)
+    # non-event iterations run K at a time as one lax.scan program — ~4
+    # dispatches per century instead of 100 (make_chunked_steps docstring)
+    K = 33
+    multistep, step1 = make_chunked_steps(step, K)
     sched = Schedule(opt_cfg, stage)
     if getattr(opt_cfg, "dataloader", False) and opt_cfg.custom_sampler is not None:
         # FineSampler temporal curriculum (utils/loader_utils.py:20-52,
@@ -166,10 +176,7 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             first_reset = it
         if first_dens and first_prune and first_reset:
             break
-    if ((first_dens or first_prune or first_reset)
-            and os.environ.get("MOM_TPU_NO_WARM_STRUCTURAL") != "1"):
-        camb0 = {k: jnp.asarray(v[0:1]) for k, v in packed.items()}
-        gtb0 = jnp.asarray(gts[0:1])
+    if os.environ.get("MOM_TPU_NO_WARM_STRUCTURAL") != "1":
 
         def _warm(name, fn, *args):
             t0 = time.time()
@@ -189,11 +196,18 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                 print(f"warm: {name} failed ({e}); will compile lazily",
                       flush=True)
 
-        _warm("frozen step",
-              lambda s: step(s, camb0, gtb0,
-                             jnp.asarray(float(first_iter + 1), jnp.float32),
-                             jnp.asarray(sh_degree, jnp.int32),
-                             freeze_points=True))
+        it0 = jnp.asarray(float(first_iter + 1), jnp.float32)
+        sh0 = jnp.asarray(sh_degree, jnp.int32)
+        vi0 = jnp.asarray(0, jnp.int32)
+        _warm("multistep (scan x33)",
+              lambda s: multistep(s, packed_dev, gts_dev,
+                                  jnp.zeros(K, jnp.int32), it0, sh0))
+        _warm("step",
+              lambda s: step1(s, packed_dev, gts_dev, vi0, it0, sh0))
+        if first_dens or first_prune or first_reset:
+            _warm("frozen step",
+                  lambda s: step1(s, packed_dev, gts_dev, vi0, it0, sh0,
+                                  freeze_points=True))
         if first_dens is not None:
             _warm("densify", densify_op, sched.thresholds(first_dens)[1],
                   opt_cfg.percent_dense, scene.cameras_extent)
@@ -230,7 +244,7 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                 ready = True
             if not ready and not block:
                 break
-            if not math.isfinite(float(arr)):
+            if not np.all(np.isfinite(np.asarray(arr))):
                 bad = it0
             pending.pop(0)
         return bad
@@ -241,20 +255,49 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     # tunnel every step — on a degraded tunnel that upload, not compute,
     # set the step rate (observed: step time invariant to a 4.4x capacity
     # shrink).  The whole set is ~2.8MB/view * n_views (<250MB) of HBM.
-    packed_dev = {k: jnp.asarray(v) for k, v in packed.items()}
-    gts_dev = jnp.asarray(gts)
+    # Event iterations (logging, structural candidates, eval/save/video/
+    # checkpoint, sh bumps, the final iteration) single-step through the
+    # same body with the view picked on device; everything else scans.
+    def _special(j):
+        return (j % log_every == 0 or j % 1000 == 0
+                or j % opt_cfg.densification_interval == 0
+                or j % opt_cfg.pruning_interval == 0
+                or j % opt_cfg.opacity_reset_interval == 0
+                or j in test_iterations or j in save_iterations
+                or j in video_iterations or j in checkpoint_iterations
+                or j >= final_iter)
 
-    @jax.jit
-    def _pick_view(cams, gt, i):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i, 1)   # noqa: E731
-        return jax.tree.map(sl, cams), sl(gt)
+    def _rewind(bad_iter):
+        if last_good is None:
+            raise FloatingPointError("non-finite loss with no checkpoint")
+        print(f"[{stage} {bad_iter}] loss is non-finite — "
+              "rewinding to last good state")
+        pending.clear()
+        return jax.device_put(last_good)
 
-    for iteration in range(first_iter + 1, final_iter + 1):
+    iteration = first_iter
+    while iteration < final_iter:
+        if (not render_process and gui is None
+                and iteration + K < final_iter
+                and not any(_special(j)
+                            for j in range(iteration + 1, iteration + K + 1))):
+            vis = np.asarray([sampler.next() for _ in range(K)], np.int32)
+            state, losses = multistep(
+                state, packed_dev, gts_dev, jnp.asarray(vis),
+                jnp.asarray(float(iteration + 1), jnp.float32),
+                jnp.asarray(sh_degree, jnp.int32))
+            iteration += K
+            pending.append((iteration, losses))
+            bad_iter = _drain_pending()
+            if bad_iter is not None:
+                state = _rewind(bad_iter)
+            continue
+
+        iteration += 1
         if iteration % 1000 == 0 and sh_degree < 3:
             sh_degree += 1
 
         vi = sampler.next()
-        camb, gtb = _pick_view(packed_dev, gts_dev, vi)
 
         candidate = (iteration < opt_cfg.densify_until_iter
                      and (iteration % opt_cfg.densification_interval == 0
@@ -266,20 +309,16 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             iteration, num_alive)
         structural = do_densify or do_prune or do_reset
 
-        state, metrics = step(state, camb, gtb,
-                              jnp.asarray(iteration, jnp.float32),
-                              jnp.asarray(sh_degree, jnp.int32),
-                              freeze_points=structural)
+        state, metrics = step1(state, packed_dev, gts_dev,
+                               jnp.asarray(vi, jnp.int32),
+                               jnp.asarray(iteration, jnp.float32),
+                               jnp.asarray(sh_degree, jnp.int32),
+                               freeze_points=structural)
 
         pending.append((iteration, metrics["loss"]))
         bad_iter = _drain_pending()
         if bad_iter is not None:
-            if last_good is None:
-                raise FloatingPointError("non-finite loss with no checkpoint")
-            print(f"[{stage} {bad_iter}] loss is non-finite — "
-                  "rewinding to last good state")
-            state = jax.device_put(last_good)
-            pending.clear()
+            state = _rewind(bad_iter)
             continue
 
         if gui is not None:

@@ -257,3 +257,52 @@ def test_compact_resume_capacity():
     _, did2 = ckpt_io.compact_train_state(comp, headroom=2.0,
                                           min_capacity=128, align=128)
     assert not did2
+
+
+def test_multistep_matches_single_steps():
+    """One K-iteration lax.scan program must reproduce K chained single
+    steps bit-for-bit (same body, same view sequence, same LR schedule)."""
+    from mom_tpu.train.loop import make_chunked_steps
+
+    state, dcfg = _toy_state(n=48, capacity=128)
+    opt = config.OptimizationParams()
+    hidden = config.ModelHiddenParams()
+    W = H = 24
+    cams = []
+    for i in range(3):
+        th = (i - 1) * 0.1
+        R = np.array([[np.cos(th), 0, -np.sin(th)], [0, 1, 0],
+                      [np.sin(th), 0, np.cos(th)]])
+        cams.append(Camera(R=R, T=np.zeros(3), fovx=0.8, fovy=0.8,
+                           width=W, height=H, time=i / 2.0, frame_num=i))
+    packed_dev = {k: jnp.asarray(v) for k, v in pack_cameras(cams).items()}
+    rngg = np.random.RandomState(0)
+    gts_dev = jnp.asarray(rngg.randint(0, 255, (3, H, W, 3), dtype=np.uint8))
+
+    step = make_train_step(opt, hidden, dcfg, W, H, "fine",
+                           spatial_lr_scale=3.0, bg=(0, 0, 0),
+                           backend="reference")
+    multistep, step1 = make_chunked_steps(step, 4)
+    vis = [0, 2, 1, 0]
+
+    sa = jax.tree.map(jnp.copy, state)
+    losses_a = []
+    for j, vi in enumerate(vis):
+        sa, m = step1(sa, packed_dev, gts_dev, jnp.asarray(vi, jnp.int32),
+                      jnp.asarray(float(j + 1), jnp.float32),
+                      jnp.asarray(1, jnp.int32))
+        losses_a.append(float(m["loss"]))
+
+    sb = jax.tree.map(jnp.copy, state)
+    sb, losses_b = multistep(sb, packed_dev, gts_dev,
+                             jnp.asarray(vis, jnp.int32),
+                             jnp.asarray(1.0, jnp.float32),
+                             jnp.asarray(1, jnp.int32))
+
+    np.testing.assert_array_equal(np.asarray(losses_b),
+                                  np.asarray(losses_a, np.float32))
+    np.testing.assert_array_equal(np.asarray(sa.gauss.params.xyz),
+                                  np.asarray(sb.gauss.params.xyz))
+    np.testing.assert_array_equal(np.asarray(sa.adam.m["xyz"]),
+                                  np.asarray(sb.adam.m["xyz"]))
+    assert int(sa.adam.step) == int(sb.adam.step) == 4
