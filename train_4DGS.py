@@ -175,7 +175,7 @@ def main(argv=None):
     if not skip_coarse:
         first_c = 0
         if resume_state is not None and "coarse" in os.path.basename(start_ckpt):
-            state = resume_state
+            # ``state`` already holds the (possibly compacted) resume state
             first_c = resume_iter
         state, hist_c = pipeline.scene_reconstruction(
             state, deform_cfg, scene, opt_cfg, hidden_cfg, None, "coarse",
@@ -184,8 +184,9 @@ def main(argv=None):
         first_f = 0
     else:
         print("start from fine stage, skip coarse stage.")
-        if resume_state is not None:
-            state = resume_state
+        # NOTE: ``state`` already IS the resume state (swapped in, and
+        # possibly capacity-compacted, right after loading above) — do not
+        # re-assign ``resume_state`` here or the compaction is discarded
         first_f = resume_iter
     state, hist_f = pipeline.scene_reconstruction(
         state, deform_cfg, scene, opt_cfg, hidden_cfg, None, "fine",
