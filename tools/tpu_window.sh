@@ -22,7 +22,14 @@ run() {  # run <name> <timeout_s> <env...> -- <cmd...>
     tail -3 "$OUT/$name.out" | tee -a "$OUT/window.log"
 }
 
+# 0. stage-3 render FPS on the TRAINED model at native res (VERDICT ask #6:
+#    a clean render-compute FPS on a healthy session) — needs
+#    point_cloud/iteration_N to exist from the finished training run
+run render_fps 3600 NONE=1 -- python render_4DGS.py \
+    --input_dir demo/scene_0 --configs arguments/dnerf/hellwarrior.py
+
 # 1. the driver-official scale: 262k pts @ 512^2, with breakdown
+#    (also the rehearsal for the driver's own BENCH_r03 run)
 run bench_512_262k 1500 MOM_TPU_BENCH_BUDGET=1400 -- python bench.py
 
 # 2. production scale, current default binning (sort)
