@@ -118,7 +118,13 @@ def main():
             print("[watchdog] training completed", flush=True)
             return 0
         restarts += 1
-        time.sleep(60)          # let the tunnel drain before relaunching
+        # post-kill quiet time: a wedged tunnel stream needs ~10 min of
+        # full silence before a new client can attach reliably (observed
+        # twice: a 60s-delay relaunch wedged again immediately; a ~10 min
+        # quiet relaunch recovered).  Escalate if a relaunch wedges anyway.
+        quiet = 60 if not stalled else min(600 * restarts, 1800)
+        print(f"[watchdog] sleeping {quiet}s before relaunch", flush=True)
+        time.sleep(quiet)
     print("[watchdog] giving up after max restarts", flush=True)
     return 1
 
