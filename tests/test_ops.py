@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from mom_tpu.ops.knn import mean_3nn_sq_dist, mean_3nn_sq_dist_morton
 from mom_tpu.ops.gridsample import grid_sample_2d
@@ -76,6 +77,7 @@ def test_dense_grid_trilinear():
     assert 0 < float(mid[0, 0]) < 63
 
 
+@pytest.mark.parity
 def test_grid_sample_patched_matches_plain():
     """The 2x2-patch-table sampling path (one 128-lane row gather) must be
     numerically identical to the 4-corner-gather path, including border

@@ -193,6 +193,7 @@ def test_row_band_rendering_matches_full():
     np.testing.assert_allclose(g_band, g_full, atol=3e-4)
 
 
+@pytest.mark.parity
 def test_radix_binning_matches_sort_binning(monkeypatch):
     """MOM_TPU_BIN_RADIX=1 (MXU counting sort over tx/ty digits) must
     produce the exact same Binning as the lax.sort path, including pads
@@ -218,6 +219,7 @@ def test_radix_binning_matches_sort_binning(monkeypatch):
                 err_msg=f"{name} cap={cap}")
 
 
+@pytest.mark.parity
 def test_mxu_split_cumsum_parity(monkeypatch):
     """MOM_TPU_MXU_SPLIT=k runs the compositing transmittance cumsum as k
     bf16 MXU passes; k=3 must match the fp32 path to ~1e-5 (forward AND

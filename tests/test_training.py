@@ -17,6 +17,7 @@ from mom_tpu.train.loop import (TrainState, make_train_step, densify_op,
 from mom_tpu.cameras import Camera, pack_cameras
 
 
+@pytest.mark.parity
 def test_adam_matches_torch():
     import torch
     rng = np.random.RandomState(0)
@@ -198,6 +199,7 @@ def test_coarse_training_improves_psnr():
                                                    float(last["psnr"]))
 
 
+@pytest.mark.parity
 def test_compact_resume_capacity():
     """compact_train_state gathers alive rows (params, stats, Adam moments)
     into a smaller capacity and training continues with identical dynamics:
@@ -259,6 +261,7 @@ def test_compact_resume_capacity():
     assert not did2
 
 
+@pytest.mark.parity
 def test_multistep_matches_single_steps():
     """One K-iteration lax.scan program must reproduce K chained single
     steps bit-for-bit (same body, same view sequence, same LR schedule)."""
