@@ -68,6 +68,10 @@ def _print_once():
 
 
 def _alarm(_sig, _frm):
+    if _result["value"] is None:
+        # the live run produced no measurement at all (e.g. a compile
+        # wedged after attach): the banked result still beats a null
+        _flush_stale_bank("live run produced no measurement within budget")
     _result["extra"]["status"] = "watchdog_flush"
     _result["extra"]["elapsed_s"] = round(time.time() - T0, 1)
     _print_once()
@@ -399,8 +403,13 @@ def main():
         log(f"breakdown skipped: {e}")
     _result["extra"]["elapsed_s"] = round(time.time() - T0, 1)
     signal.alarm(0)
-    if jax.default_backend() != "cpu":
-        _bank_result()     # seed the stale-fallback bank for wedged runs
+    if (jax.default_backend() != "cpu"
+            and "MOM_TPU_BENCH_PTS" not in os.environ
+            and "MOM_TPU_BENCH_RES" not in os.environ):
+        # seed the stale-fallback bank for wedged runs — but only at the
+        # driver-official default scale, so A/B runs at other scales don't
+        # overwrite the bank the driver's own run would want
+        _bank_result()
     _print_once()
 
 
