@@ -474,14 +474,68 @@ def make_render_jit(state: TrainState, deform_cfg, W, H, bg, stage="fine",
     return rf
 
 
+def make_render_scan(deform_cfg, W, H, bg, stage="fine", backend="tiled",
+                     key_cap=None):
+    """CHUNK frames per dispatched program: a ``lax.scan`` over a packed
+    camera batch returns the whole (K,H,W,3) uint8 stack in one execution.
+    Stage-3 rendering then pays one host->device dispatch round-trip per
+    chunk instead of per frame — the same cure as the scan-batched training
+    loop (through a remote device tunnel the per-dispatch tax, not render
+    compute, bounds the delivered FPS)."""
+    @jax.jit
+    def rs(params, aux, deform, packed_cams):
+        def body(carry, cam):
+            out = render_fn(params, aux, deform, deform_cfg, cam, W, H,
+                            jnp.asarray(bg, jnp.float32), stage=stage,
+                            active_sh_degree=3, delta_scale=1.0,
+                            key_cap=key_cap, backend=backend)
+            img = jnp.clip(out.color, 0.0, 1.0)
+            return carry, (img * 255.0 + 0.5).astype(jnp.uint8)
+        _, frames = jax.lax.scan(body, 0, packed_cams)
+        return frames
+    return rs
+
+
 def render_trajectory(state: TrainState, deform_cfg, cams: list[Camera],
                       W, H, bg, backend="tiled", key_cap=None,
-                      rf=None):
-    """Renders a camera list; returns (frames uint8 list, fps)."""
-    if rf is None:
-        rf = make_render_jit(state, deform_cfg, W, H, bg, backend=backend,
-                             key_cap=key_cap, uint8=True)
-    # async dispatch: renders and device->host copies overlap
+                      rf=None, rs=None, chunk=30, stage="fine"):
+    """Renders a camera list; returns (frames uint8 list, fps).
+
+    Default path: scan-batched (``make_render_scan``), ``chunk`` frames per
+    dispatch.  Passing ``rf`` (a per-frame render fn) selects the legacy
+    frame-at-a-time path instead (used by the GUI, which renders single
+    interactive frames)."""
+    if rf is not None:
+        return _render_trajectory_per_frame(state, cams, rf)
+    chunk = max(1, min(chunk, len(cams)))
+    if rs is None:
+        rs = make_render_scan(deform_cfg, W, H, bg, stage=stage,
+                              backend=backend, key_cap=key_cap)
+    packed = pack_cameras(cams)
+    n = len(cams)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:   # edge-repeat the last camera; extra frames are dropped below
+        packed = {k: np.concatenate([v] + [v[-1:]] * pad) for k, v in
+                  packed.items()}
+    parts = [{k: jnp.asarray(v[j * chunk:(j + 1) * chunk])
+              for k, v in packed.items()} for j in range(n_chunks)]
+    # warm-up on the first chunk (compile excluded from FPS, matching the
+    # reference's warm (len-1)/(t2-t1) timing, render_4DGS.py:61-71)
+    rs(state.gauss.params, state.gauss.aux, state.deform,
+       parts[0]).block_until_ready()
+    t1 = time.time()
+    outs = [rs(state.gauss.params, state.gauss.aux, state.deform, p)
+            for p in parts]
+    outs[-1].block_until_ready()   # in-order execution: all chunks done
+    fps = (n_chunks * chunk) / max(time.time() - t1, 1e-9)
+    frames_arr = np.concatenate([np.asarray(o) for o in outs])[:n]
+    return list(frames_arr), fps
+
+
+def _render_trajectory_per_frame(state, cams, rf):
+    """Frame-at-a-time path (explicit ``rf``): async dispatch, renders and
+    device->host copies overlap."""
     device_frames = []
     t1 = None
     for i, cam in enumerate(cams):
@@ -514,14 +568,13 @@ def render_training_videos(model_path, iteration, state, deform_cfg, scene,
     from .utils.videoio import write_mp4
     outdir = os.path.join(model_path, "video", f"itrs_{iteration}")
     os.makedirs(outdir, exist_ok=True)
-    rf = make_render_jit(state, deform_cfg, scene.width, scene.height, bg,
-                         stage=stage, backend=backend, key_cap=key_cap,
-                         uint8=True)
+    rs = make_render_scan(deform_cfg, scene.width, scene.height, bg,
+                          stage=stage, backend=backend, key_cap=key_cap)
     name_map = {"up-down": "up_down", "side": "side", "zoom-in": "zoom_in",
                 "circle": "circle"}
     for name, cams in scene.video_cams.items():
         frames, _ = render_trajectory(state, deform_cfg, cams, scene.width,
-                                      scene.height, bg, rf=rf)
+                                      scene.height, bg, rs=rs)
         frames = [f[crop:-crop, crop:-crop] for f in frames]
         write_mp4(os.path.join(outdir, name_map[name] + ".mp4"), frames,
                   fps=30, quality=8)
@@ -536,17 +589,18 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
     from .utils.videoio import write_mp4
     name_map = {"up-down": "up_down", "side": "side", "zoom-in": "zoom",
                 "circle": "circle"}
-    # device-side uint8 quantization: 4x less device->host traffic per
-    # frame AND the dtype png_write_batch expects
-    rf = make_render_jit(state, deform_cfg, scene.width, scene.height, bg,
-                         backend=backend, key_cap=key_cap, uint8=True)
+    # scan-batched + device-side uint8 quantization: one dispatch per 30
+    # frames, 4x less device->host traffic, and the dtype png_write_batch
+    # expects
+    rs = make_render_scan(deform_cfg, scene.width, scene.height, bg,
+                          backend=backend, key_cap=key_cap)
     fps_all = {}
     for name, cams in scene.video_cams.items():
         out_name = name_map[name]
         frame_dir = os.path.join(model_path, "frame_result", out_name)
         os.makedirs(frame_dir, exist_ok=True)
         frames, fps = render_trajectory(state, deform_cfg, cams, scene.width,
-                                        scene.height, bg, rf=rf)
+                                        scene.height, bg, rs=rs)
         print(f"FPS: {fps}")
         fps_all[out_name] = fps
         # threaded native PNG writer (replaces the reference's python

@@ -200,6 +200,38 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_render_trajectory_scanned_matches_per_frame():
+    """The scan-batched render path (chunk frames per dispatched program,
+    incl. edge-repeat padding when len(cams) % chunk != 0) must reproduce
+    the per-frame path's frames."""
+    from mom_tpu import pipeline
+    from mom_tpu.cameras import Camera
+    from tests.test_training import _toy_state
+
+    state, dcfg = _toy_state(n=48, capacity=128)
+    W = H = 24
+    cams = []
+    for i in range(5):
+        th = (i - 2) * 0.08
+        R = np.array([[np.cos(th), 0, -np.sin(th)], [0, 1, 0],
+                      [np.sin(th), 0, np.cos(th)]])
+        cams.append(Camera(R=R, T=np.zeros(3), fovx=0.8, fovy=0.8,
+                           width=W, height=H, time=i / 4.0, frame_num=i))
+
+    rf = pipeline.make_render_jit(state, dcfg, W, H, (0, 0, 0),
+                                  stage="fine", backend="reference",
+                                  uint8=True)
+    per_frame, _ = pipeline.render_trajectory(state, dcfg, cams, W, H,
+                                              (0, 0, 0), rf=rf)
+    scanned, fps = pipeline.render_trajectory(state, dcfg, cams, W, H,
+                                              (0, 0, 0), backend="reference",
+                                              chunk=2)
+    assert len(scanned) == 5 and fps > 0
+    assert scanned[0].dtype == np.uint8
+    for a, b in zip(scanned, per_frame):
+        np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+
+
 def test_render_trajectory_quantizes_float_frames():
     """Regression (round-2 stage-3 export wrote all-black PNGs): a float
     render fn passed into render_trajectory must yield properly quantized
