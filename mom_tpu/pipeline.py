@@ -374,18 +374,23 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
 
         if iteration in test_iterations:
             timer.pause()
-            from .train.report import evaluate, training_report
-            rf = make_render_jit(state, deform_cfg, W, H, bg, stage=stage,
-                                 backend=backend, key_cap=key_cap)
+            from .train.report import training_report
             test_cams = scene.test_cams
             test_packed = pack_cameras(test_cams)
             test_gts = _gt_stack(test_cams)
-
-            def _eval_render(i):
-                camj = {k: jnp.asarray(v[i]) for k, v in test_packed.items()}
-                return rf(state.gauss.params, state.gauss.aux, state.deform,
-                          camj)
-            result = evaluate(_eval_render, test_cams, test_gts)
+            # ONE dispatched program renders + scores every test view
+            # (25 views x 4 dispatches each through a remote tunnel would
+            # otherwise dominate eval wall-time)
+            ev = make_eval_scan(deform_cfg, W, H, bg, stage=stage,
+                                backend=backend, key_cap=key_cap)
+            l1s, psnrs, ssims = ev(
+                state.gauss.params, state.gauss.aux, state.deform,
+                {k: jnp.asarray(v) for k, v in test_packed.items()},
+                jnp.asarray(test_gts))
+            result = {"l1": float(jnp.mean(l1s)),
+                      "psnr": float(jnp.mean(psnrs)),
+                      "ssim": float(jnp.mean(ssims)),
+                      "n_views": len(test_cams)}
             if logger is not None:
                 training_report(logger, iteration, stage, {},
                                 eval_result=result)
@@ -494,6 +499,30 @@ def make_render_scan(deform_cfg, W, H, bg, stage="fine", backend="tiled",
         _, frames = jax.lax.scan(body, 0, packed_cams)
         return frames
     return rs
+
+
+def make_eval_scan(deform_cfg, W, H, bg, stage="fine", backend="tiled",
+                   key_cap=None):
+    """One dispatched program renders and scores (L1/PSNR/SSIM) every test
+    view via lax.scan; returns per-view metric arrays (same per-view values
+    as train.report.evaluate, which remains the per-frame API)."""
+    from .train import losses as L
+
+    @jax.jit
+    def ev(params, aux, deform, packed_cams, gts_u8):
+        def body(carry, xs):
+            cam, gt8 = xs
+            out = render_fn(params, aux, deform, deform_cfg, cam, W, H,
+                            jnp.asarray(bg, jnp.float32), stage=stage,
+                            active_sh_degree=3, delta_scale=1.0,
+                            key_cap=key_cap, backend=backend)
+            img = jnp.clip(out.color, 0.0, 1.0)
+            gt = jnp.clip(gt8.astype(jnp.float32) / 255.0, 0.0, 1.0)
+            return carry, (L.l1_loss(img, gt), L.psnr(img, gt),
+                           L.ssim(img, gt))
+        _, ms = jax.lax.scan(body, 0, (packed_cams, gts_u8))
+        return ms
+    return ev
 
 
 def render_trajectory(state: TrainState, deform_cfg, cams: list[Camera],

@@ -123,6 +123,7 @@ def test_full_training_and_render(tmp_path):
         state, deform_cfg, scene, opt, hidden, None, "fine",
         opt.iterations, str(scene_dir),
         save_iterations={opt.iterations}, backend="reference",
+        test_iterations={opt.iterations},   # exercises the scanned eval
         log_every=4, progress=False)
     assert np.isfinite(hist[-1]["loss"])
 
@@ -230,6 +231,45 @@ def test_render_trajectory_scanned_matches_per_frame():
     assert scanned[0].dtype == np.uint8
     for a, b in zip(scanned, per_frame):
         np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+
+
+def test_eval_scan_matches_per_view_evaluate():
+    """The one-dispatch scanned eval must produce the same L1/PSNR/SSIM as
+    train.report.evaluate's per-view loop."""
+    import jax.numpy as jnp
+    from mom_tpu import pipeline
+    from mom_tpu.cameras import Camera, pack_cameras
+    from mom_tpu.train.report import evaluate
+    from tests.test_training import _toy_state
+
+    state, dcfg = _toy_state(n=48, capacity=128)
+    W = H = 24
+    cams = []
+    for i in range(3):
+        th = (i - 1) * 0.1
+        R = np.array([[np.cos(th), 0, -np.sin(th)], [0, 1, 0],
+                      [np.sin(th), 0, np.cos(th)]])
+        cams.append(Camera(R=R, T=np.zeros(3), fovx=0.8, fovy=0.8,
+                           width=W, height=H, time=i / 2.0, frame_num=i))
+    packed = pack_cameras(cams)
+    gts = (np.random.RandomState(3).rand(3, H, W, 3) * 255).astype(np.uint8)
+
+    rf = pipeline.make_render_jit(state, dcfg, W, H, (0, 0, 0),
+                                  stage="fine", backend="reference")
+
+    def er(i):
+        camj = {k: jnp.asarray(v[i]) for k, v in packed.items()}
+        return rf(state.gauss.params, state.gauss.aux, state.deform, camj)
+
+    ref = evaluate(er, cams, gts)
+    ev = pipeline.make_eval_scan(dcfg, W, H, (0, 0, 0), stage="fine",
+                                 backend="reference")
+    l1s, psnrs, ssims = ev(state.gauss.params, state.gauss.aux, state.deform,
+                           {k: jnp.asarray(v) for k, v in packed.items()},
+                           jnp.asarray(gts))
+    np.testing.assert_allclose(float(jnp.mean(l1s)), ref["l1"], atol=1e-5)
+    np.testing.assert_allclose(float(jnp.mean(psnrs)), ref["psnr"], atol=1e-3)
+    np.testing.assert_allclose(float(jnp.mean(ssims)), ref["ssim"], atol=1e-4)
 
 
 def test_render_trajectory_quantizes_float_frames():
