@@ -83,7 +83,18 @@ _attached = threading.Event()
 
 def _flush_stale_bank(reason):
     """Device never attached: emit the last successful run's banked result,
-    loudly labelled stale (an honest number with provenance beats rc=124)."""
+    loudly labelled stale (an honest number with provenance beats rc=124).
+    Only the driver-official configuration may fall back to the bank: a
+    CPU smoke run or a scale-overridden A/B run must never ship the banked
+    TPU number as its own."""
+    if (os.environ.get("MOM_TPU_BENCH_CPU") == "1"
+            or "MOM_TPU_BENCH_PTS" in os.environ
+            or "MOM_TPU_BENCH_RES" in os.environ):
+        _result["extra"] = {"status": f"no_data: {reason} "
+                            "(bank fallback disabled off-default-config)"}
+        _result["extra"]["elapsed_s"] = round(time.time() - T0, 1)
+        _print_once()
+        os._exit(0)
     try:
         with open(BANK_PATH) as f:
             banked = json.load(f)
@@ -265,6 +276,11 @@ def main():
     N_PTS = int(os.environ.get("MOM_TPU_BENCH_PTS", 262_144))
     res = os.environ.get("MOM_TPU_BENCH_RES", "512")
     W, H = ([int(v) for v in res.split("x")] * 2)[:2]
+    # keep the metric name honest under scale overrides (a 921k/720p run
+    # must not ship labelled as the default 262k/512 problem)
+    if N_PTS != 262_144 or (W, H) != (512, 512):
+        _result["metric"] = (f"4dgs_fine_train_iters_per_sec_"
+                             f"{W}x{H}_{N_PTS // 1000}k")
     state, deform_cfg, hidden, opt, packed, gts, W, H = build_problem(
         N_PTS, W, H)
     key_cap = default_key_cap(N_PTS, 4.0)
