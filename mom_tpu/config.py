@@ -188,11 +188,21 @@ def merge_hparams(args: Namespace, config: dict) -> Namespace:
     """Apply config-file overrides onto the flat args namespace, mirroring
     merge_hparams (utils/params_utils.py:1-9): every key of every known group
     dict overwrites args."""
+    # reference guard (params_utils.py:6): a key that is not an existing arg
+    # is silently DROPPED, whichever group dict it sits in — e.g. hypernerf
+    # configs override kplanes_config from inside ModelParams and it still
+    # lands, but a typo'd key never creates a new attribute.  The reference
+    # registers EVERY ParamGroup attribute on args (arguments/__init__.py
+    # ParamGroup ctor), including dict/list fields our argparse layer skips,
+    # so "exists on args" there = "is a field of any group" here.
+    known = {f.name for cls in _GROUPS.values()
+             for f in dataclasses.fields(cls)}
     for name in ("OptimizationParams", "ModelHiddenParams",
                  "ModelParams", "PipelineParams"):
         if name in config:
             for key, value in config[name].items():
-                setattr(args, key, value)
+                if hasattr(args, key) or key in known:
+                    setattr(args, key, value)
     return args
 
 

@@ -1,5 +1,6 @@
 """Golden-value tests for camera math, SH, LR schedule, trajectories, config."""
 
+import os
 import math
 
 import numpy as np
@@ -174,3 +175,40 @@ def test_cfg_args_roundtrip(tmp_path):
     parsed = config.parse_namespace_repr((tmp_path / "cfg_args").read_text())
     assert parsed.a == 1 and parsed.b == "x" and parsed.c == [1, 2]
     assert parsed.d is True and parsed.e is None
+
+
+def test_full_config_family_loads():
+    """Every shipped arguments/ config loads + merges like the reference
+    (dnerf 15, dynerf 7, hypernerf 5 — mirror of the reference family).
+    The hypernerf variants exercise the group-agnostic override quirk
+    (kplanes_config inside ModelParams, utils/params_utils.py:1-9) and the
+    hasattr guard (unknown keys are dropped, never added)."""
+    import glob
+    from argparse import ArgumentParser
+    root = os.path.join(os.path.dirname(__file__), "..", "arguments")
+    files = sorted(glob.glob(os.path.join(root, "*", "*.py")))
+    assert len(files) == 27, files
+    for path in files:
+        parser = ArgumentParser()
+        config.add_group_args(parser, config.OptimizationParams)
+        config.add_group_args(parser, config.ModelHiddenParams)
+        args = parser.parse_args([])
+        cfg = config.load_config_file(path)
+        args = config.merge_hparams(args, cfg)
+        assert args.coarse_iterations == 3000, path
+        hidden = config.extract_group(args, config.ModelHiddenParams)
+        res = hidden.kplanes_config["resolution"]
+        assert len(res) == 4 and res[3] >= 25, (path, res)
+    # spot-check the quirk file: ModelParams override lands on the args
+    parser = ArgumentParser()
+    config.add_group_args(parser, config.OptimizationParams)
+    config.add_group_args(parser, config.ModelHiddenParams)
+    args = parser.parse_args([])
+    cfg = config.load_config_file(os.path.join(root, "hypernerf", "banana.py"))
+    args = config.merge_hparams(args, cfg)
+    assert args.kplanes_config["resolution"][3] == 250
+    assert args.iterations == 14000 and args.batch_size == 2
+    # unknown keys are dropped (reference hasattr guard)
+    args2 = config.merge_hparams(args, {"OptimizationParams":
+                                        {"not_a_real_key": 1}})
+    assert not hasattr(args2, "not_a_real_key")
