@@ -218,12 +218,21 @@ def chunked_device_get(tree):
 
 
 def save_train_state(path: str, state, extra: dict | None = None):
+    """Accepts device OR host (numpy) leaves; written atomically (tmp +
+    rename) so a kill mid-write can never leave a truncated checkpoint the
+    watchdog would then try to resume from."""
     flat, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": x for i, x in enumerate(chunked_device_get(flat))}
     if extra:
         arrays.update({f"extra_{k}": np.asarray(v) for k, v in extra.items()})
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **arrays)
+    # dot-prefixed tmp name so the watchdog's chkpnt_*_*.npz resume glob
+    # can never pick up a half-written file
+    d, base = os.path.split(path)
+    tmp = os.path.join(d, "." + base + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
 
 
 def load_train_state(path: str, state_template):

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 import time
 
 import numpy as np
@@ -79,6 +80,72 @@ def _gt_stack(cams) -> np.ndarray:
     return np.stack([c.image for c in cams])          # (N, H, W, 3) uint8
 
 
+class _AsyncSnapshots:
+    """Background device->host state pulls for checkpoints and the NaN
+    rewind target.
+
+    A full-capacity pull is ~900MB and this machine's device tunnel drains
+    it at ~2MB/s: done synchronously (as before) every checkpoint/snapshot
+    blocked the training loop for ~8 minutes of device idle.  Instead the
+    state is copied ON DEVICE (a cheap HBM copy — the training step donates
+    its input buffers, so the copy is what keeps the snapshot stable) and a
+    worker thread streams the copy to the host while the main thread keeps
+    dispatching training steps; the tunnel's bandwidth drains in parallel
+    with compute.  MOM_TPU_SYNC_CKPT=1 restores the synchronous behavior."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+        self._last_good = None
+        self.sync = os.environ.get("MOM_TPU_SYNC_CKPT") == "1"
+
+    def busy(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def join(self):
+        if self._thread is not None:
+            self._thread.join()
+
+    def submit(self, state, path: str | None = None,
+               extra: dict | None = None):
+        """Snapshot ``state`` (and write a checkpoint when ``path`` is
+        given).  If a previous pull is still draining: plain snapshots are
+        skipped (the rewind target just stays a little older), checkpoint
+        writes wait for the drain first (the watchdog depends on the file
+        existing)."""
+        if self.busy():
+            if path is None:
+                return False
+            self.join()
+
+        def _work(snap):
+            host = ckpt.chunked_device_get(snap)
+            with self._lock:
+                self._last_good = host
+            if path is not None:
+                ckpt.save_train_state(path, host, extra)
+
+        if self.sync:
+            _work(state)
+            return True
+        snap = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+        self._thread = threading.Thread(target=_work, args=(snap,),
+                                        daemon=True)
+        self._thread.start()
+        return True
+
+    def last_good(self):
+        """The newest fully-pulled snapshot (blocks for an in-flight pull
+        only when there is no completed one yet)."""
+        with self._lock:
+            if self._last_good is not None:
+                return self._last_good
+        self.join()
+        with self._lock:
+            return self._last_good
+
+
 def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                          opt_cfg, hidden, pipe, stage: str, final_iter: int,
                          model_path: str, save_iterations=(),
@@ -99,9 +166,12 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
         # base the instance budget on live points, not buffer capacity
         key_cap = default_key_cap_for(int(state.gauss.num_alive), W, H)
 
+    # reference batching: nb views per iteration, loss over the stacked
+    # batch, radii max / viewspace-grad sum (train_4DGS.py:172-205)
+    nb = max(1, int(getattr(opt_cfg, "batch_size", 1)))
     step = make_train_step(opt_cfg, hidden, deform_cfg, W, H, stage,
                            spatial_lr_scale=scene.cameras_extent, bg=bg,
-                           key_cap=key_cap, backend=backend)
+                           key_cap=key_cap, backend=backend, batch_size=nb)
     # Device-resident training set: upload every packed camera and GT image
     # ONCE; iterations slice their view on device (see the loop below — a
     # per-step ~2.7MB GT upload and a round-trip per dispatch were the
@@ -111,7 +181,14 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     # non-event iterations run K at a time as one lax.scan program — ~4
     # dispatches per century instead of 100 (make_chunked_steps docstring)
     K = 33
-    multistep, step1 = make_chunked_steps(step, K)
+    multistep, step1 = make_chunked_steps(step, K, batch_size=nb)
+
+    def _draw():
+        """One iteration's view pick: a scalar at nb=1 (keeps the original
+        jit signature), an (nb,) vector otherwise."""
+        if nb == 1:
+            return sampler.next()
+        return np.asarray([sampler.next() for _ in range(nb)], np.int32)
     sched = Schedule(opt_cfg, stage)
     if getattr(opt_cfg, "dataloader", False) and opt_cfg.custom_sampler is not None:
         # FineSampler temporal curriculum (utils/loader_utils.py:20-52,
@@ -152,9 +229,10 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     metrics = None
     history = []
     # NaN-rewind baseline: snapshot the stage-entry state so a blow-up before
-    # the first periodic snapshot can still rewind (chunked pull — see
-    # data/checkpoints.chunked_device_get)
-    last_good = ckpt.chunked_device_get(state)
+    # the first periodic snapshot can still rewind.  Pulls stream to the
+    # host on a worker thread while training dispatches (_AsyncSnapshots).
+    snaps = _AsyncSnapshots()
+    snaps.submit(state)
 
     # Pre-compile every structural-iteration program this stage will need.
     # Their first use is mid-run (e.g. the fine-3000 opacity reset), and a
@@ -198,10 +276,11 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
 
         it0 = jnp.asarray(float(first_iter + 1), jnp.float32)
         sh0 = jnp.asarray(sh_degree, jnp.int32)
-        vi0 = jnp.asarray(0, jnp.int32)
+        vi0 = jnp.asarray(0 if nb == 1 else np.zeros(nb, np.int32), jnp.int32)
         _warm("multistep (scan x33)",
               lambda s: multistep(s, packed_dev, gts_dev,
-                                  jnp.zeros(K, jnp.int32), it0, sh0))
+                                  jnp.zeros(K if nb == 1 else (K, nb),
+                                            jnp.int32), it0, sh0))
         _warm("step",
               lambda s: step1(s, packed_dev, gts_dev, vi0, it0, sh0))
         if first_dens or first_prune or first_reset:
@@ -226,7 +305,7 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     # checks every iteration, train_4DGS.py:224-226)
     pending = []          # [(iteration, loss array)] awaiting readiness
     # keep the viewpoint sampler's draw sequence aligned on resume
-    for _ in range(first_iter):
+    for _ in range(first_iter * nb):
         sampler.next()
 
     def _drain_pending(block: bool = False):
@@ -268,12 +347,13 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                 or j >= final_iter)
 
     def _rewind(bad_iter):
-        if last_good is None:
+        lg = snaps.last_good()
+        if lg is None:
             raise FloatingPointError("non-finite loss with no checkpoint")
         print(f"[{stage} {bad_iter}] loss is non-finite — "
               "rewinding to last good state")
         pending.clear()
-        return jax.device_put(last_good)
+        return jax.device_put(lg)
 
     iteration = first_iter
     while iteration < final_iter:
@@ -281,7 +361,7 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                 and iteration + K < final_iter
                 and not any(_special(j)
                             for j in range(iteration + 1, iteration + K + 1))):
-            vis = np.asarray([sampler.next() for _ in range(K)], np.int32)
+            vis = np.asarray([_draw() for _ in range(K)], np.int32)
             state, losses = multistep(
                 state, packed_dev, gts_dev, jnp.asarray(vis),
                 jnp.asarray(float(iteration + 1), jnp.float32),
@@ -297,7 +377,7 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
         if iteration % 1000 == 0 and sh_degree < 3:
             sh_degree += 1
 
-        vi = sampler.next()
+        vi = _draw()
 
         candidate = (iteration < opt_cfg.densify_until_iter
                      and (iteration % opt_cfg.densification_interval == 0
@@ -357,20 +437,16 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             # just synced anyway)
             bad_iter = _drain_pending(block=True)
             if bad_iter is not None or not math.isfinite(m["loss"]):
-                if last_good is None:
-                    raise FloatingPointError(
-                        "non-finite loss with no checkpoint")
-                print(f"[{stage} {bad_iter or iteration}] loss is "
-                      "non-finite — rewinding to last good state")
-                state = jax.device_put(last_good)
-                pending.clear()
-            elif iteration % 2000 == 0 or last_good is None:
-                # host snapshot (device buffers get donated every step).
-                # At production point counts this is a ~1GB device->host
-                # pull (chunked), so it runs at checkpoint-like cadence;
-                # the NaN probe still detects within a few iterations and
-                # rewinds to this state
-                last_good = ckpt.chunked_device_get(state)
+                state = _rewind(bad_iter or iteration)
+            elif iteration % 2000 == 0 and not (
+                    iteration in checkpoint_iterations
+                    or (checkpoint_iterations and iteration == final_iter)):
+                # refresh the rewind target (skipped if the previous pull
+                # is still draining, and when this iteration's checkpoint
+                # write below refreshes it anyway; the NaN probe still
+                # detects within a few iterations and rewinds to the older
+                # snapshot)
+                snaps.submit(state)
 
         if iteration in test_iterations:
             timer.pause()
@@ -448,11 +524,17 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
         if (iteration in checkpoint_iterations
                 or (checkpoint_iterations and iteration == final_iter)):
             # the stage end always checkpoints when checkpointing is on, so
-            # a watchdog restart never replays a completed stage
-            ckpt.save_train_state(
+            # a watchdog restart never replays a completed stage; written
+            # by the snapshot worker while training continues (also
+            # refreshes the rewind target)
+            snaps.submit(
+                state,
                 os.path.join(model_path, f"chkpnt_{stage}_{iteration}.npz"),
-                state, {"iteration": iteration})
+                {"iteration": iteration})
 
+    # the last checkpoint may still be draining to disk — finish it before
+    # the stage returns (the next stage or process exit must see the file)
+    snaps.join()
     return state, history
 
 

@@ -189,7 +189,7 @@ def make_train_step(opt_cfg, hidden_cfg, deform_cfg: D.DeformConfig,
     return step
 
 
-def make_chunked_steps(step, k: int):
+def make_chunked_steps(step, k: int, batch_size: int = 1):
     """Dispatch-minimal training programs over a DEVICE-RESIDENT view set.
 
     A remote-TPU tunnel charges a round-trip per dispatched executable, and
@@ -211,7 +211,13 @@ def make_chunked_steps(step, k: int):
     body = step.body
 
     def _slice_view(cams_all, gts_all, vi):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, vi, 1)  # noqa: E731
+        """vi: scalar index at batch_size 1 (dynamic_slice keeps the old
+        signature/compile); an (nb,) index vector otherwise (reference
+        batching samples nb views per iteration, train_4DGS.py:172-176)."""
+        if batch_size == 1:
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, vi, 1)  # noqa: E731
+        else:
+            sl = lambda a: jnp.take(a, vi, axis=0)                 # noqa: E731
         return jax.tree.map(sl, cams_all), sl(gts_all)
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -309,3 +309,66 @@ def test_multistep_matches_single_steps():
     np.testing.assert_array_equal(np.asarray(sa.adam.m["xyz"]),
                                   np.asarray(sb.adam.m["xyz"]))
     assert int(sa.adam.step) == int(sb.adam.step) == 4
+
+
+def test_batched_step_matches_reference_semantics():
+    """batch_size=nb: nb views render per iteration, loss over the stacked
+    batch, radii max / viewspace-grad sum (reference train_4DGS.py:172-205
+    collates nb views). The chunked scan must still match chained single
+    steps bit-for-bit, and a 2-view batch of the SAME view must produce the
+    single-view loss."""
+    from mom_tpu.train.loop import make_chunked_steps
+
+    state, dcfg = _toy_state(n=48, capacity=128)
+    opt = config.OptimizationParams()
+    hidden = config.ModelHiddenParams()
+    W = H = 24
+    cams = []
+    for i in range(3):
+        th = (i - 1) * 0.1
+        R = np.array([[np.cos(th), 0, -np.sin(th)], [0, 1, 0],
+                      [np.sin(th), 0, np.cos(th)]])
+        cams.append(Camera(R=R, T=np.zeros(3), fovx=0.8, fovy=0.8,
+                           width=W, height=H, time=i / 2.0, frame_num=i))
+    packed_dev = {k: jnp.asarray(v) for k, v in pack_cameras(cams).items()}
+    rngg = np.random.RandomState(0)
+    gts_dev = jnp.asarray(rngg.randint(0, 255, (3, H, W, 3), dtype=np.uint8))
+
+    step2 = make_train_step(opt, hidden, dcfg, W, H, "fine",
+                            spatial_lr_scale=3.0, bg=(0, 0, 0),
+                            backend="reference", batch_size=2)
+    multistep, step1 = make_chunked_steps(step2, 3, batch_size=2)
+    vis = np.asarray([[0, 2], [1, 0], [2, 1]], np.int32)
+
+    sa = jax.tree.map(jnp.copy, state)
+    losses_a = []
+    for j in range(3):
+        sa, m = step1(sa, packed_dev, gts_dev, jnp.asarray(vis[j]),
+                      jnp.asarray(float(j + 1), jnp.float32),
+                      jnp.asarray(1, jnp.int32))
+        losses_a.append(float(m["loss"]))
+    assert np.all(np.isfinite(losses_a))
+
+    sb = jax.tree.map(jnp.copy, state)
+    sb, losses_b = multistep(sb, packed_dev, gts_dev, jnp.asarray(vis),
+                             jnp.asarray(1.0, jnp.float32),
+                             jnp.asarray(1, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(losses_b),
+                                  np.asarray(losses_a, np.float32))
+    np.testing.assert_array_equal(np.asarray(sa.gauss.params.xyz),
+                                  np.asarray(sb.gauss.params.xyz))
+
+    # same view twice == that view's single-view loss (L1 over the batch)
+    step1b = make_train_step(opt, hidden, dcfg, W, H, "fine",
+                             spatial_lr_scale=3.0, bg=(0, 0, 0),
+                             backend="reference", batch_size=1)
+    sc = jax.tree.map(jnp.copy, state)
+    _, m1 = step1b(sc, {k: v[1:2] for k, v in packed_dev.items()},
+                   gts_dev[1:2], jnp.asarray(1.0, jnp.float32),
+                   jnp.asarray(1, jnp.int32))
+    sd = jax.tree.map(jnp.copy, state)
+    _, m2 = step2(sd, {k: jnp.stack([v[1], v[1]]) for k, v in
+                       packed_dev.items()},
+                  jnp.stack([gts_dev[1], gts_dev[1]]),
+                  jnp.asarray(1.0, jnp.float32), jnp.asarray(1, jnp.int32))
+    np.testing.assert_allclose(float(m1["l1"]), float(m2["l1"]), rtol=1e-6)
