@@ -203,15 +203,30 @@ def chunked_device_get(tree):
     """device->host pull in <=32MB slices.  Monolithic ~GB transfers can
     wedge this machine's remote-TPU tunnel indefinitely; slicing bounds each
     transfer message (and each slice is an independent device op)."""
+    def fetch(thunk):
+        # each slice is a small device allocation; under transient HBM
+        # pressure (e.g. a concurrent warm compile's workspace) it can
+        # raise RESOURCE_EXHAUSTED — back off and retry instead of killing
+        # the snapshot worker
+        for attempt in range(6):
+            try:
+                return np.asarray(thunk())
+            except Exception as e:                            # noqa: BLE001
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 5:
+                    raise
+                import time as _t
+                _t.sleep(5.0 * (attempt + 1))
+
     def pull(x):
         if not hasattr(x, "nbytes") or x.nbytes <= _PULL_CHUNK_BYTES \
                 or x.ndim == 0:
-            return np.asarray(x)
+            return fetch(lambda: x)
         rows_per = max(int(_PULL_CHUNK_BYTES
                            // max(x.nbytes // x.shape[0], 1)), 1)
         out = np.empty(x.shape, np.dtype(x.dtype))
         for i in range(0, x.shape[0], rows_per):
-            out[i:i + rows_per] = np.asarray(x[i:i + rows_per])
+            out[i:i + rows_per] = fetch(
+                lambda i=i: x[i:i + rows_per])
         return out
 
     return jax.tree.map(pull, tree)

@@ -231,8 +231,12 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     # NaN-rewind baseline: snapshot the stage-entry state so a blow-up before
     # the first periodic snapshot can still rewind.  Pulls stream to the
     # host on a worker thread while training dispatches (_AsyncSnapshots).
+    # Submitted AFTER the warm block below: the snapshot's on-device copy
+    # (~state-size) overlapping the warm compiles' workspace OOM'd the
+    # fine stage at 921k capacity (observed at the coarse->fine
+    # transition); warms run on throwaway copies and nothing mutates state
+    # before the loop, so the rewind target is identical either way.
     snaps = _AsyncSnapshots()
-    snaps.submit(state)
 
     # Pre-compile every structural-iteration program this stage will need.
     # Their first use is mid-run (e.g. the fine-3000 opacity reset), and a
@@ -298,6 +302,7 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
         if first_reset is not None:
             _warm("opacity reset", reset_opacity_op)
 
+    snaps.submit(state)          # see the _AsyncSnapshots note above
     gui_rf = None
     # one-step-lagged NaN probe: the previous iteration's loss is fetched
     # after the current step is dispatched, so the host never blocks on the
