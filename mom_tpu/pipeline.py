@@ -258,7 +258,10 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             first_reset = it
         if first_dens and first_prune and first_reset:
             break
-    if os.environ.get("MOM_TPU_NO_WARM_STRUCTURAL") != "1":
+    if (os.environ.get("MOM_TPU_NO_WARM_STRUCTURAL") != "1"
+            and first_iter < final_iter):
+        # (an already-complete stage — e.g. coarse on a fine-stage resume —
+        # must not burn minutes warming programs its loop will never run)
 
         def _warm(name, fn, *args):
             t0 = time.time()
@@ -302,7 +305,12 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
         if first_reset is not None:
             _warm("opacity reset", reset_opacity_op)
 
-    snaps.submit(state)          # see the _AsyncSnapshots note above
+    if first_iter < final_iter:
+        # see the _AsyncSnapshots note above; a completed stage must not
+        # stream a ~1GB rewind snapshot it will never use (the pull would
+        # drain through the tunnel during the NEXT stage's startup and its
+        # device copy would sit on HBM through the warms)
+        snaps.submit(state)
     gui_rf = None
     # one-step-lagged NaN probe: the previous iteration's loss is fetched
     # after the current step is dispatched, so the host never blocks on the
