@@ -1,0 +1,84 @@
+#!/bin/bash
+# Milestone committer: periodically banks the long-run evidence into git so a
+# dev-VM reset cannot erase the run again (it already has, twice — RESULTS.md).
+# Commits are logs/metrics (tiny, every pass) plus a sparse set of gzipped
+# full-state checkpoints (at most one per RESCUE_STRIDE iterations).
+set -u
+cd "$(dirname "$0")/.."
+SCENE=demo/scene_0
+STATE=/tmp/r3_committer.state   # last banked checkpoint iter
+RESCUE_STRIDE=${RESCUE_STRIDE:-5000}
+INTERVAL=${INTERVAL:-900}
+mkdir -p runlogs "$SCENE/rescue"
+[ -f "$STATE" ] || echo "-1 coarse" > "$STATE"
+
+bank_logs() {
+    for f in /tmp/r3_orch.log /tmp/stage1.log /tmp/full_r3.log; do
+        [ -f "$f" ] && cp "$f" runlogs/ 2>/dev/null
+    done
+    git add -f runlogs "$SCENE/metrics.jsonl" "$SCENE/cfg_args" \
+        2>/dev/null || true
+}
+
+bank_checkpoint() {
+    read -r last_iter last_stage < "$STATE"
+    # newest checkpoint, fine preferred over coarse, highest iter
+    local best="" best_stage="" best_iter=-1
+    for c in "$SCENE"/chkpnt_fine_*.npz "$SCENE"/chkpnt_coarse_*.npz; do
+        [ -f "$c" ] || continue
+        local b; b=$(basename "$c")
+        local stage=${b#chkpnt_}; stage=${stage%%_*}
+        local iter=${b##*_}; iter=${iter%.npz}
+        local rank=$iter
+        [ "$stage" = fine ] && rank=$((iter + 100000))
+        local best_rank=$best_iter
+        [ "$best_stage" = fine ] && best_rank=$((best_iter + 100000))
+        if [ "$rank" -gt "$best_rank" ]; then
+            best=$c; best_stage=$stage; best_iter=$iter
+        fi
+    done
+    [ -n "$best" ] || return 0
+    local last_rank=$last_iter
+    [ "$last_stage" = fine ] && last_rank=$((last_iter + 100000))
+    local new_rank=$best_iter
+    [ "$best_stage" = fine ] && new_rank=$((best_iter + 100000))
+    # bank when we crossed a stride boundary, finished a stage end, or
+    # this is the first checkpoint we have seen
+    if [ $((new_rank - last_rank)) -ge "$RESCUE_STRIDE" ] \
+        || { [ "$best_iter" -eq 20000 ] && [ "$best_iter" -ne "$last_iter" ]; }; then
+        rm -f "$SCENE"/rescue/*.npz.gz
+        gzip -1 -c "$best" > "$SCENE/rescue/$(basename "$best").gz" \
+            || return 0
+        git add -f -A "$SCENE/rescue"
+        echo "$best_iter $best_stage" > "$STATE"
+        echo "banked $(basename "$best")"
+    fi
+}
+
+bank_stage1() {
+    # one-time bank of the stage-1 contract (train_data + scene_flow +
+    # video GT frames): a VM reset mid-stage-2 then only costs the
+    # iterations since the last banked checkpoint, not a stage-1 rerun
+    if [ -f "$SCENE/MOM/train_data.pth" ] \
+        && [ -f "$SCENE/MOM/scene_flow.pth" ] \
+        && [ ! -f "$SCENE/rescue/mom_stage1.tar.gz" ]; then
+        tar -czf "$SCENE/rescue/mom_stage1.tar.gz" \
+            --exclude='tran_data.pth' --exclude='Flow_viz' \
+            -C "$SCENE" MOM 2>/dev/null || return 0
+        git add -f "$SCENE/rescue/mom_stage1.tar.gz"
+        echo "banked stage-1 MOM artifacts"
+    fi
+}
+
+while true; do
+    bank_logs
+    note=$(bank_stage1)
+    note2=$(bank_checkpoint)
+    note="${note}${note2:+ + $note2}"
+    if ! git diff --cached --quiet 2>/dev/null; then
+        git commit -q -m "Bank full-run logs/metrics${note:+ + $note}
+
+No-Verification-Needed: run artifacts and logs only" || true
+    fi
+    sleep "$INTERVAL"
+done
