@@ -81,11 +81,17 @@ run export_render 2700 NONE=1 -- python tools/export_from_checkpoint.py \
 run bench_512_262k 1500 MOM_TPU_BENCH_BUDGET=1400 -- python bench.py
 cp BENCH_BANK.json runlogs/ 2>/dev/null
 
-# 6. band-locality demonstration (VERDICT stretch #9) if time remains
+# 6. MXU counting-sort binning A/B at driver scale (feeds the binning
+#    throughput question — the radix path is bit-exact vs lax.sort,
+#    test_rasterize_tiled.py:test_radix_binning_matches_sort_binning)
+run bench_512_radix 1200 MOM_TPU_BENCH_BUDGET=1100 MOM_TPU_BIN_RADIX=1 \
+    -- python bench.py
+
+# 7. band-locality demonstration (VERDICT stretch #9) if time remains
 run band_locality 1500 NONE=1 -- python tools/band_locality.py \
     921600 1280x720 4 8
 
-# 7. final artifact commit: exports (PLY + trajectory renders are the
+# 8. final artifact commit: exports (PLY + trajectory renders are the
 #    judge-visible evidence)
 git add -f -A "$SCENE/point_cloud" "$SCENE/frame_result" \
     "$SCENE/vid_result" BENCH_BANK.json runlogs 2>/dev/null
