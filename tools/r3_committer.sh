@@ -16,8 +16,12 @@ bank_logs() {
     for f in /tmp/r3_orch.log /tmp/stage1.log /tmp/full_r3.log; do
         [ -f "$f" ] && cp "$f" runlogs/ 2>/dev/null
     done
-    git add -f runlogs "$SCENE/metrics.jsonl" "$SCENE/cfg_args" \
-        2>/dev/null || true
+    # add each path on its own: git add aborts the WHOLE call when any
+    # single pathspec does not exist yet
+    for p in runlogs "$SCENE/metrics.jsonl" "$SCENE/cfg_args"; do
+        [ -e "$p" ] && git add -f "$p" 2>/dev/null
+    done
+    true
 }
 
 bank_checkpoint() {
