@@ -46,8 +46,9 @@ if [ -n "$best" ]; then
     rm -f "$SCENE"/rescue/chkpnt_*.npz.gz
     gzip -1 -c "$best" > "$SCENE/rescue/$(basename "$best").gz"
 fi
-git add -f -A runlogs "$SCENE/rescue" "$SCENE/metrics.jsonl" \
-    "$SCENE/cfg_args" 2>/dev/null
+for p in runlogs "$SCENE/rescue" "$SCENE/metrics.jsonl" "$SCENE/cfg_args"; do
+    [ -e "$p" ] && git add -f -A "$p" 2>/dev/null
+done
 git commit -q -m "Bank final run state before measurement window
 
 No-Verification-Needed: run artifacts and logs only" || true
@@ -93,8 +94,10 @@ run band_locality 1500 NONE=1 -- python tools/band_locality.py \
 
 # 8. final artifact commit: exports (PLY + trajectory renders are the
 #    judge-visible evidence)
-git add -f -A "$SCENE/point_cloud" "$SCENE/frame_result" \
-    "$SCENE/vid_result" BENCH_BANK.json runlogs 2>/dev/null
+for p in "$SCENE/point_cloud" "$SCENE/frame_result" "$SCENE/vid_result" \
+    BENCH_BANK.json runlogs; do
+    [ -e "$p" ] && git add -f -A "$p" 2>/dev/null
+done
 git commit -q -m "Bank stage-3 exports and measurement results
 
 No-Verification-Needed: run artifacts and logs only" || true
