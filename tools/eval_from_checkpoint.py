@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Score a training checkpoint on the full 25-view test set (L1/PSNR/SSIM),
+offline — the same scan-batched evaluator the training loop runs at
+``test_iterations`` (mom_tpu/pipeline.py:make_eval_scan), detached from the
+run so ANY banked checkpoint can be scored after the fact.
+
+The reference computes these numbers only inside training_report
+(train_4DGS.py:354-404); an offline evaluator matters here because a flaky
+tunnel can end a run between eval milestones.
+
+Usage:
+  python tools/eval_from_checkpoint.py --input_dir demo/scene_0 \
+      [--checkpoint demo/scene_0/chkpnt_fine_12000.npz] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input_dir", required=True)
+    ap.add_argument("--checkpoint", default=None,
+                    help="defaults to the newest chkpnt_*_*.npz in input_dir")
+    ap.add_argument("--key_cap_mult", type=float, default=4.0)
+    ap.add_argument("--json", default=None, help="also write result here")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from train_watchdog import newest_checkpoint
+    ckpt_path = args.checkpoint or newest_checkpoint(args.input_dir)
+    assert ckpt_path, "no checkpoint found"
+    m = re.match(r"chkpnt_(coarse|fine)_(\d+)\.npz",
+                 os.path.basename(ckpt_path))
+    stage, iteration = m.group(1), int(m.group(2))
+    print(f"evaluating {ckpt_path} (stage={stage}, iter={iteration})",
+          flush=True)
+
+    # honor JAX_PLATFORMS=cpu: this machine's JAX force-registers an 'axon'
+    # TPU platform that overrides the env var (tests/conftest.py note) — a
+    # CPU-intended child must never attach to the single-client tunnel
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax.numpy as jnp
+    from mom_tpu import config as C
+    from mom_tpu.data.scene import load_scene
+    from mom_tpu.data import checkpoints as ckpt_io
+    from mom_tpu import pipeline
+    from mom_tpu.ops.rasterize import CHUNK
+
+    opt_cfg = C.OptimizationParams()
+    hidden = C.ModelHiddenParams()
+    from argparse import Namespace
+    ns = Namespace(**{**vars(C.OptimizationParams()),
+                      **vars(C.ModelHiddenParams())})
+    cfg_args_path = os.path.join(args.input_dir, "cfg_args")
+    cfg_file = "./arguments/dnerf/hellwarrior.py"
+    if os.path.exists(cfg_args_path):
+        # the training run's own persisted config wins (reference
+        # get_combined_args semantics, arguments/__init__.py:154-174)
+        saved = vars(C.parse_namespace_repr(open(cfg_args_path).read()))
+        for k, v in saved.items():
+            if hasattr(ns, k) and v is not None:
+                setattr(ns, k, v)
+    elif os.path.exists(cfg_file):
+        ns = C.merge_hparams(ns, C.load_config_file(cfg_file))
+    for k in vars(opt_cfg):
+        setattr(opt_cfg, k, getattr(ns, k, getattr(opt_cfg, k)))
+    for k in vars(hidden):
+        setattr(hidden, k, getattr(ns, k, getattr(hidden, k)))
+
+    mom_dir = os.path.join(args.input_dir, "MOM")
+    scene = load_scene(os.path.join(mom_dir, "train_data.pth"),
+                       traj_dir="test_trajectory")
+    state, deform_cfg, capacity = pipeline.build_initial_state(
+        scene, hidden, opt_cfg, flow_scale=2.0)
+    host_state, extra = ckpt_io.load_train_state(ckpt_path, state)
+    ckpt_io.free_device_tree(state)
+    state = host_state
+
+    W, H = scene.width, scene.height
+    bg = np.zeros(3, np.float32)
+    n0 = int(np.asarray(state.gauss.aux.alive).sum())
+    key_cap = ((int(n0 * args.key_cap_mult) + CHUNK - 1) // CHUNK) * CHUNK
+
+    test_cams = scene.test_cams
+    packed = pipeline.pack_cameras(test_cams)
+    gts = pipeline._gt_stack(test_cams)
+    ev = pipeline.make_eval_scan(deform_cfg, W, H, bg, stage=stage,
+                                 key_cap=key_cap)
+    l1s, psnrs, ssims = ev(
+        state.gauss.params, state.gauss.aux, state.deform,
+        {k: jnp.asarray(v) for k, v in packed.items()}, jnp.asarray(gts))
+    result = {"checkpoint": os.path.basename(ckpt_path),
+              "stage": stage, "iteration": iteration,
+              "n_views": len(test_cams), "alive_points": n0,
+              "l1": float(jnp.mean(l1s)), "psnr": float(jnp.mean(psnrs)),
+              "ssim": float(jnp.mean(ssims))}
+    print(json.dumps(result), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(result, f)
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except BaseException:
+        import traceback
+        traceback.print_exc()
+        sys.stdout.flush()
+        os._exit(3)
