@@ -78,6 +78,13 @@ No-Verification-Needed: run artifacts and logs only" || true
 run export_render 2700 NONE=1 -- python tools/export_from_checkpoint.py \
     --input_dir $SCENE --render --expname full_r3
 
+# 4b. offline eval of the newest checkpoint on all 25 test views — the
+#     final PSNR/SSIM number regardless of which in-run eval milestones
+#     the schedule reached
+run eval_final 1200 NONE=1 -- python tools/eval_from_checkpoint.py \
+    --input_dir $SCENE --json /tmp/tpu_window/eval_final.json
+cp /tmp/tpu_window/eval_final.json runlogs/ 2>/dev/null
+
 # 5. driver-scale bench rehearsal (refreshes BENCH_BANK at default scale)
 run bench_512_262k 1500 MOM_TPU_BENCH_BUDGET=1400 -- python bench.py
 cp BENCH_BANK.json runlogs/ 2>/dev/null
