@@ -7,7 +7,7 @@ set -u
 cd "$(dirname "$0")/.."
 SCENE=demo/scene_0
 STATE=/tmp/r3_committer.state   # last banked checkpoint iter
-RESCUE_STRIDE=${RESCUE_STRIDE:-5000}
+RESCUE_STRIDE=${RESCUE_STRIDE:-6000}
 INTERVAL=${INTERVAL:-900}
 mkdir -p runlogs "$SCENE/rescue"
 [ -f "$STATE" ] || echo "-1 coarse" > "$STATE"
@@ -42,13 +42,15 @@ bank_checkpoint() {
         fi
     done
     [ -n "$best" ] || return 0
+    # bank only fine-stage checkpoints from iteration 8000 on: earlier state
+    # is cheap to recompute from the banked stage-1 artifacts, and pre-prune
+    # checkpoints are ~900 MB of incompressible fp32 (post-prune ones gzip
+    # to ~250 MB — the dead capacity slots are zeros)
+    [ "$best_stage" = fine ] || return 0
+    [ "$best_iter" -ge 8000 ] || return 0
     local last_rank=$last_iter
-    [ "$last_stage" = fine ] && last_rank=$((last_iter + 100000))
-    local new_rank=$best_iter
-    [ "$best_stage" = fine ] && new_rank=$((best_iter + 100000))
-    # bank when we crossed a stride boundary, finished a stage end, or
-    # this is the first checkpoint we have seen
-    if [ $((new_rank - last_rank)) -ge "$RESCUE_STRIDE" ] \
+    [ "$last_stage" = fine ] || last_rank=-1
+    if [ $((best_iter - last_rank)) -ge "$RESCUE_STRIDE" ] \
         || { [ "$best_iter" -eq 20000 ] && [ "$best_iter" -ne "$last_iter" ]; }; then
         rm -f "$SCENE"/rescue/*.npz.gz
         gzip -1 -c "$best" > "$SCENE/rescue/$(basename "$best").gz" \
