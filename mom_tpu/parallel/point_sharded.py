@@ -45,6 +45,7 @@ from ..train.loop import (TrainState, _params_by_group, _from_groups,
 from ..train.optim import group_lrs, adam_step, POINT_GROUPS
 
 AXIS = "points"
+DP_AXIS = "data"
 
 
 def make_points_mesh(n_devices: int | None = None) -> Mesh:
@@ -52,6 +53,18 @@ def make_points_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (AXIS,))
+
+
+def make_mesh2d(n_dp: int, n_tp: int) -> Mesh:
+    """2D (data, points) mesh: n_dp view-parallel groups, each point-sharding
+    the model n_tp ways.  Composes the DP gradient averaging of
+    data_parallel.py with this module's tensor parallelism — the TP
+    collectives (all_gather/reduce-scatter/ppermute over AXIS) ride ICI
+    within a dp group, the view-gradient pmean rides across groups."""
+    devs = jax.devices()
+    assert len(devs) >= n_dp * n_tp, (len(devs), n_dp, n_tp)
+    return Mesh(np.array(devs[:n_dp * n_tp]).reshape(n_dp, n_tp),
+                (DP_AXIS, AXIS))
 
 
 def interleave_perm(cap: int, n: int) -> np.ndarray:
@@ -70,10 +83,11 @@ def shard_state(state: TrainState, mesh: Mesh,
                 interleave: bool = True) -> TrainState:
     """Place the TrainState on the mesh: per-point leading axes sharded on
     AXIS (round-robin interleaved by default — see interleave_perm),
-    everything else replicated.  Capacity must divide the mesh size
+    everything else replicated.  Capacity must divide the AXIS extent
     (pick_capacity rounds to 1024, so any power-of-two mesh works).
+    On a 2D (data, points) mesh the state replicates over the data axis.
     ``unshard_state`` undoes both the sharding and the permutation."""
-    n = mesh.devices.size
+    n = mesh.shape[AXIS]
     cap = state.gauss.capacity
     assert cap % n == 0, (cap, n)
     perm = interleave_perm(cap, n) if interleave else None
@@ -92,7 +106,7 @@ def unshard_state(state: TrainState, mesh: Mesh,
                   interleave: bool = True) -> TrainState:
     """Gather a sharded TrainState to host and restore the original point
     order (inverse of shard_state)."""
-    n = mesh.devices.size
+    n = mesh.shape[AXIS]
     cap = state.gauss.capacity
     inv = None
     if interleave:
@@ -113,10 +127,18 @@ def unshard_state(state: TrainState, mesh: Mesh,
 def make_ps_train_step(mesh: Mesh, opt_cfg, hidden_cfg,
                        deform_cfg: D.DeformConfig, width: int, height: int,
                        stage: str, spatial_lr_scale: float, bg,
-                       key_cap: int):
+                       key_cap: int, dp_axis: str | None = None):
     """Jitted point-sharded step for ONE camera per iteration.  GT images
-    arrive row-sharded: gts (hpad, W, 3) with hpad = n_dev * band_h."""
-    n_dev = mesh.devices.size
+    arrive row-sharded: gts (hpad, W, 3) with hpad = n_tp * band_h.
+
+    With ``dp_axis`` set (a 2D make_mesh2d mesh), each data-parallel group
+    trains on ITS OWN camera per iteration: cams carry a leading n_dp axis
+    and gts are (n_dp, hpad, W, 3).  Gradients and viewspace-grad stats
+    pmean over the data axis (matching the replicated batched loop's
+    stacked-batch mean-loss semantics, train/loop.py), radii pmax over it
+    (the reference's max over the view batch, train_4DGS.py:203-204,
+    227-229)."""
+    n_dev = mesh.shape[AXIS]
     bgj = jnp.asarray(bg, jnp.float32)
     gy = (height + TILE - 1) // TILE
     band_ty = (gy + n_dev - 1) // n_dev          # tile rows per device
@@ -214,6 +236,10 @@ def make_ps_train_step(mesh: Mesh, opt_cfg, hidden_cfg,
         cap_local = state.gauss.params.xyz.shape[0]
         offset = jnp.zeros((cap_local, 2), jnp.float32)
         band0 = jax.lax.axis_index(AXIS) * band_h
+        if dp_axis is not None:
+            # per-dp-group view: the dp block size is 1, drop that axis
+            cam = jax.tree.map(lambda a: a[0], cam)
+            gts = gts[0]
 
         (loss, (ll1, psnr, radii, overflow)), grads = jax.value_and_grad(
             local_loss, argnums=(0, 6), has_aux=True)(
@@ -221,11 +247,41 @@ def make_ps_train_step(mesh: Mesh, opt_cfg, hidden_cfg,
             band0)
         ggroups, goffset = grads
 
-        # replicated groups: average the per-device grads; point groups are
-        # already exact local shards from the reduce-scatter
-        for gname in ("deformation", "grid"):
-            ggroups[gname] = jax.tree.map(
-                lambda g: jax.lax.pmean(g, AXIS), ggroups[gname])
+        if dp_axis is not None:
+            # mean-over-views gradient (the replicated batched loop computes
+            # l1/ssim over the stacked batch = a mean over views)
+            ggroups = jax.tree.map(
+                lambda g: jax.lax.pmean(g, dp_axis), ggroups)
+            # the replicated loop's "sum over batch" of per-view offset grads
+            # equals a pmean here: its stacked-batch mean loss already gives
+            # each view's grad a 1/nb factor that the dp per-view loss lacks
+            goffset = jax.lax.pmean(goffset, dp_axis)
+            radii = jax.lax.pmax(radii, dp_axis)
+            loss, ll1, psnr = (jax.lax.pmean(x, dp_axis)
+                               for x in (loss, ll1, psnr))
+            overflow = jax.lax.pmax(overflow, dp_axis)
+
+        # The loss leaves local_loss REPLICATED (psum'd global value on every
+        # device), so per-device autodiff seeds a cotangent of 1 on each of
+        # the n copies and psum's transpose (itself a psum) hands every band
+        # partial an n x cotangent.  Consequences, group by group:
+        #   - point groups + offset (reduce-scattered over the bands): n x
+        #     the true gradient -> rescale by 1/n here.  (Adam's first step
+        #     is scale-invariant — sign(g) from zero moments — which is why
+        #     this was invisible to parameter-parity checks; the
+        #     densification stats exposed it.)
+        #   - replicated groups (deformation/grid): each device holds n x
+        #     its own shard's partial grad, so pmean = psum/n recovers the
+        #     exact total.
+        inv_n = 1.0 / n_dev
+        for gname in ggroups:
+            if gname in ("deformation", "grid"):
+                ggroups[gname] = jax.tree.map(
+                    lambda g: jax.lax.pmean(g, AXIS), ggroups[gname])
+            else:
+                ggroups[gname] = jax.tree.map(
+                    lambda g: g * inv_n, ggroups[gname])
+        goffset = goffset * inv_n
 
         grad_ndc = goffset * jnp.array([width * 0.5, height * 0.5])
         aux = G.add_densification_stats(state.gauss.aux, grad_ndc, radii)
@@ -261,7 +317,12 @@ def make_ps_train_step(mesh: Mesh, opt_cfg, hidden_cfg,
         return jax.tree.map(spec, state)
 
     def build(state_template: TrainState):
-        in_specs = (state_specs(state_template), rep, P(AXIS), rep, rep)
+        if dp_axis is None:
+            cam_spec, gts_spec = rep, P(AXIS)
+        else:
+            cam_spec, gts_spec = P(dp_axis), P(dp_axis, AXIS)
+        in_specs = (state_specs(state_template), cam_spec, gts_spec, rep,
+                    rep)
         out_specs = (state_specs(state_template), rep)
         kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
         try:

@@ -272,3 +272,70 @@ def test_point_sharded_structural_ops():
                           jnp.asarray(0, jnp.int32))
     assert np.isfinite(float(metrics["loss"]))
     assert int(metrics["points"]) == 0
+
+
+@pytest.mark.parity
+def test_dp_x_tp_2d_mesh_matches_replicated_batch():
+    """Composed parallelism on a 2D (data, points) mesh: 2 dp groups x 4 tp
+    shards.  One step with two views (one per dp group) must match the
+    replicated batched step at batch_size=2 — same loss/l1 and the same
+    updated parameters (the dp pmean reproduces the stacked-batch mean-loss
+    gradients; viewspace-stat pmean / radii pmax reproduce the reference's
+    batch sum/max, train_4DGS.py:203-204, 227-229)."""
+    from mom_tpu.train.loop import make_train_step
+    from mom_tpu.parallel.point_sharded import (make_mesh2d, DP_AXIS,
+                                                make_ps_train_step,
+                                                shard_state, unshard_state,
+                                                pad_gt_rows)
+    state, dcfg = _toy_state(n=64, capacity=128)
+    W, H = 64, 48                  # masked bottom rows in the last band
+    opt = C.OptimizationParams()
+    opt.lambda_dssim = 0.25        # exercise the halo-exact sharded SSIM too
+    hidden = C.ModelHiddenParams()
+    packed, gts = _cams_and_gts(2, W, H, state, dcfg)
+
+    key = jax.random.PRNGKey(2)
+    pert = state.gauss.params._replace(
+        features_dc=state.gauss.params.features_dc
+        + 0.3 * jax.random.normal(key, state.gauss.params.features_dc.shape))
+    state = state._replace(gauss=state.gauss._replace(params=pert))
+
+    # replicated batched reference step (scan-vs-single bit-exactness of
+    # this path is covered elsewhere)
+    rep_step = make_train_step(opt, hidden, dcfg, W, H, "coarse",
+                               spatial_lr_scale=3.0, bg=(0, 0, 0),
+                               key_cap=4096, backend="tiled",
+                               batch_size=2)
+    state_rep = jax.tree.map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+    camb = {k: jnp.asarray(v[0:2]) for k, v in packed.items()}
+    state_rep, m_rep = rep_step(state_rep, camb, jnp.asarray(gts[0:2]),
+                                jnp.asarray(1.0, jnp.float32),
+                                jnp.asarray(0, jnp.int32))
+
+    mesh = make_mesh2d(2, 4)
+    build, band_h, hpad = make_ps_train_step(
+        mesh, opt, hidden, dcfg, W, H, "coarse", spatial_lr_scale=3.0,
+        bg=(0, 0, 0), key_cap=4096, dp_axis=DP_AXIS)
+    step = build(state)
+    state_2d = shard_state(state, mesh)
+    cam2 = {k: jnp.asarray(v[0:2]) for k, v in packed.items()}
+    gt2 = jnp.asarray(np.stack([pad_gt_rows(gts[0], hpad),
+                                pad_gt_rows(gts[1], hpad)]))
+    state_2d, m_2d = step(state_2d, cam2, gt2,
+                          jnp.asarray(1.0, jnp.float32),
+                          jnp.asarray(0, jnp.int32))
+
+    np.testing.assert_allclose(float(m_2d["l1"]), float(m_rep["l1"]),
+                               atol=2e-6)
+    np.testing.assert_allclose(float(m_2d["loss"]), float(m_rep["loss"]),
+                               atol=2e-5)
+    host = unshard_state(state_2d, mesh)
+    for name in ("xyz", "features_dc", "opacity", "scaling"):
+        a = np.asarray(getattr(host.gauss.params, name))
+        b = np.asarray(getattr(state_rep.gauss.params, name))
+        np.testing.assert_allclose(a, b, atol=3e-4, err_msg=name)
+    # densification stats follow the batch sum/max semantics
+    np.testing.assert_allclose(
+        np.asarray(host.gauss.aux.xyz_gradient_accum),
+        np.asarray(state_rep.gauss.aux.xyz_gradient_accum), atol=3e-4)
