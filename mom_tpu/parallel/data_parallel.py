@@ -92,9 +92,13 @@ def make_dp_train_step(mesh: Mesh, opt_cfg, hidden_cfg, deform_cfg,
         loss = jax.lax.pmean(loss, "data")
         ll1 = jax.lax.pmean(ll1, "data")
         psnr = jax.lax.pmean(psnr, "data")
-        # densification stats: SUM of view grads, max radii over views
-        # (train_4DGS.py:203-204, 227-229)
-        goffset = jax.lax.psum(goffset, "data")
+        # densification stats: the reference SUMS the batch's viewspace
+        # grads (train_4DGS.py:203-204, 227-229) — but its batch loss is a
+        # mean over views, so each summand already carries a 1/nb factor
+        # (see train/loop.py's replicated batched step).  The per-view DP
+        # loss lacks that factor, so the matching reduction here is pmean,
+        # not psum; radii take the batch max.
+        goffset = jax.lax.pmean(goffset, "data")
         radii = jax.lax.pmax(radii, "data")
 
         grad_ndc = goffset * jnp.array([width * 0.5, height * 0.5])

@@ -339,3 +339,51 @@ def test_dp_x_tp_2d_mesh_matches_replicated_batch():
     np.testing.assert_allclose(
         np.asarray(host.gauss.aux.xyz_gradient_accum),
         np.asarray(state_rep.gauss.aux.xyz_gradient_accum), atol=3e-4)
+
+
+@pytest.mark.parity
+def test_dp_step_matches_replicated_batch():
+    """One DP step over 8 views must match the replicated batched step at
+    batch_size=8: same updated params AND the same densification stats
+    (the stats reduction is pmean — the replicated stacked-batch loss gives
+    each view's viewspace grad a 1/nb factor that a per-view DP loss
+    lacks)."""
+    from mom_tpu.train.loop import make_train_step
+    state, dcfg = _toy_state(n=64, capacity=128)
+    W = H = 32
+    opt = C.OptimizationParams()
+    hidden = C.ModelHiddenParams()
+    packed, gts = _cams_and_gts(8, W, H, state, dcfg)
+    key = jax.random.PRNGKey(4)
+    pert = state.gauss.params._replace(
+        features_dc=state.gauss.params.features_dc
+        + 0.3 * jax.random.normal(key, state.gauss.params.features_dc.shape))
+    state = state._replace(gauss=state.gauss._replace(params=pert))
+
+    rep_step = make_train_step(opt, hidden, dcfg, W, H, "coarse",
+                               spatial_lr_scale=3.0, bg=(0, 0, 0),
+                               key_cap=4096, backend="tiled", batch_size=8)
+    state_rep = jax.tree.map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+    camb = {k: jnp.asarray(v) for k, v in packed.items()}
+    state_rep, m_rep = rep_step(state_rep, camb, jnp.asarray(gts),
+                                jnp.asarray(1.0, jnp.float32),
+                                jnp.asarray(0, jnp.int32))
+
+    mesh = make_mesh()
+    dp_step, _ = make_dp_train_step(mesh, opt, hidden, dcfg, W, H, "coarse",
+                                    spatial_lr_scale=3.0, bg=(0, 0, 0),
+                                    backend="tiled")
+    state_dp, m_dp = dp_step(state, camb, jnp.asarray(gts),
+                             jnp.asarray(1.0, jnp.float32),
+                             jnp.asarray(0, jnp.int32))
+
+    np.testing.assert_allclose(float(m_dp["l1"]), float(m_rep["l1"]),
+                               atol=2e-6)
+    for name in ("xyz", "features_dc", "opacity", "scaling"):
+        a = np.asarray(jax.device_get(getattr(state_dp.gauss.params, name)))
+        b = np.asarray(getattr(state_rep.gauss.params, name))
+        np.testing.assert_allclose(a, b, atol=3e-4, err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state_dp.gauss.aux.xyz_gradient_accum)),
+        np.asarray(state_rep.gauss.aux.xyz_gradient_accum), atol=3e-4)
