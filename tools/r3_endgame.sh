@@ -26,7 +26,7 @@ kill_tree() {  # kill a PID and all its descendants, bottom-up, by PID only
 
 # 1. stop the committer loop first (so it cannot race our commits), then
 #    the orchestrator -> watchdog -> train_4DGS tree
-for pf in /tmp/r3_committer.pid /tmp/r3_orch.pid; do
+for pf in /tmp/r3_committer.pid /tmp/r3_orch.pid /tmp/watchdog.pid; do
     if [ -f "$pf" ]; then
         log "killing tree rooted at $(cat "$pf") ($pf)"
         kill_tree "$(cat "$pf")"
