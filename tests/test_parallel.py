@@ -387,3 +387,37 @@ def test_dp_step_matches_replicated_batch():
     np.testing.assert_allclose(
         np.asarray(jax.device_get(state_dp.gauss.aux.xyz_gradient_accum)),
         np.asarray(state_rep.gauss.aux.xyz_gradient_accum), atol=3e-4)
+
+
+@pytest.mark.parity
+def test_structural_ops_on_2d_mesh_match_1d():
+    """densify/prune on a 2D (data, points) mesh must produce exactly the
+    state the same ops produce on a 1D points mesh: the split-noise RNG
+    folds only on the points axis index, so every dp replica makes
+    identical decisions and the state stays dp-replicated."""
+    from mom_tpu.parallel.point_sharded import (
+        make_points_mesh, make_mesh2d, make_ps_structural_ops,
+        shard_state, unshard_state)
+    state, dcfg = _toy_state(n=64, capacity=128)
+
+    mesh1 = make_points_mesh(4)
+    mesh2 = make_mesh2d(2, 4)
+    d1, p1, _ = make_ps_structural_ops(mesh1, state)
+    d2, p2, _ = make_ps_structural_ops(mesh2, state)
+
+    # deep-copy: shard_state's device_put is a no-copy alias for replicated
+    # leaves, and the ops donate their input state
+    state_b = jax.tree.map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+    s1 = shard_state(state, mesh1)
+    s2 = shard_state(state_b, mesh2)
+    s1, n1 = d1(s1, jnp.asarray(0.0), jnp.asarray(0.01), jnp.asarray(3.0))
+    s2, n2 = d2(s2, jnp.asarray(0.0), jnp.asarray(0.01), jnp.asarray(3.0))
+    assert int(n1) == int(n2)
+    s1, k1 = p1(s1, jnp.asarray(0.005), jnp.asarray(3.0), jnp.asarray(-1.0))
+    s2, k2 = p2(s2, jnp.asarray(0.005), jnp.asarray(3.0), jnp.asarray(-1.0))
+    assert int(k1) == int(k2)
+    h1 = unshard_state(s1, mesh1)
+    h2 = unshard_state(s2, mesh2)
+    for a, b in zip(jax.tree.leaves(h1), jax.tree.leaves(h2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
