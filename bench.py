@@ -492,7 +492,8 @@ def _breakdown(state, deform_cfg, key_cap, W, H, camb):
         t = jnp.full((p.xyz.shape[0],), 0.5)
         return D.deform(state.deform, deform_cfg, p.xyz, p.scaling,
                         p.rotation, p.opacity, G.get_features(p), t,
-                        aux.scene_flow, jnp.asarray(1.0), 1.0)
+                        aux.scene_flow, jnp.asarray(1.0), 1.0,
+                        uniform_time=True)
 
     try:
         timeit("deform_hexplane", do_deform, params)
@@ -534,7 +535,7 @@ def _breakdown(state, deform_cfg, key_cap, W, H, camb):
         out = D.deform(dtree, deform_cfg, params.xyz, params.scaling,
                        params.rotation, params.opacity,
                        G.get_features(params), t, aux.scene_flow,
-                       jnp.asarray(1.0), 1.0)
+                       jnp.asarray(1.0), 1.0, uniform_time=True)
         return sum(jnp.sum(o * o) for o in out[:3])
 
     try:

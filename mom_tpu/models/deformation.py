@@ -140,8 +140,9 @@ def _apply_head(head, h):
     return _apply_linear(head[1], x)
 
 
-def _feature(params, config, pts, times):
-    h = hexplane.hexplane_features(params["grid"], pts, times)
+def _feature(params, config, pts, times, uniform_time=False):
+    h = hexplane.hexplane_features(params["grid"], pts, times,
+                                   uniform_time=uniform_time)
     for i, lin in enumerate(params["feature_out"]):
         if i > 0:
             h = jax.nn.relu(h)
@@ -153,7 +154,7 @@ def deform(params: dict, config: DeformConfig,
            means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
            opacity: jnp.ndarray, shs: jnp.ndarray,
            times: jnp.ndarray, scene_flow: jnp.ndarray,
-           frame_num, delta_scale):
+           frame_num, delta_scale, uniform_time: bool = False):
     """Raw (pre-activation) parameters in, deformed raw parameters out,
     matching the reference call (gaussian_renderer/__init__.py:101-103 ->
     deformation.py:97-153).
@@ -162,8 +163,12 @@ def deform(params: dict, config: DeformConfig,
     ``pts = xyz * mask + dx`` etc. (deformation.py:113-116, 119-124,
     141-143, 148-150); rotations never use the mask.  mask == 1 by default;
     static_mlp predicts it from the hexplane feature, empty_voxel samples a
-    trainable DenseGrid at the undeformed position (deformation.py:99-104)."""
-    h = _feature(params, config, means3d, times)
+    trainable DenseGrid at the undeformed position (deformation.py:99-104).
+
+    ``uniform_time=True`` (every live render: one camera timestamp
+    broadcast over the points) unlocks the MOM_TPU_TIME_MM temporal-plane
+    matmul fast path — see hexplane.hexplane_features."""
+    h = _feature(params, config, means3d, times, uniform_time=uniform_time)
 
     if config.static_mlp:
         mask = _apply_head(params["static_mlp"], h)          # (N, 1)

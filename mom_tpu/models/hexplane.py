@@ -18,6 +18,7 @@ Mirrors the reference HexPlaneField (scene/hexplane.py:109-183):
 from __future__ import annotations
 
 import itertools
+import os
 from typing import NamedTuple
 
 import jax
@@ -69,8 +70,37 @@ def set_aabb(params: dict, xyz_max, xyz_min) -> dict:
     return {**params, "aabb": aabb}
 
 
+def _time_plane_sample_mm(plane: jnp.ndarray, xcoord: jnp.ndarray,
+                          t_raw: jnp.ndarray) -> jnp.ndarray:
+    """Uniform-time sample of a temporal plane as slice + MXU matmul.
+
+    Every live render evaluates the deformation at ONE timestamp
+    (render.py:55 broadcasts the camera time), so a temporal plane
+    (C, T, S) reduces to a (C, S) t-slice (two-row lerp) and the per-point
+    spatial lerp becomes a hat-weight matmul: relu(1 - |x - s|) is exactly
+    the bilinear weight row (two nonzeros, border-clamped).  This replaces
+    a latency-bound 2D patch gather per point with streaming MXU work —
+    and its VJP is two matmuls instead of a sort + segment-sum
+    (gridsample._patch_gather_bwd).  Bit-compatible with the patch path up
+    to fp32 contraction order."""
+    C, T, S = plane.shape
+    ty = jnp.clip((t_raw + 1.0) * 0.5 * (T - 1), 0.0, T - 1)
+    tf = jnp.floor(ty)
+    wt = ty - tf
+    t0 = tf.astype(jnp.int32)
+    t1 = jnp.minimum(t0 + 1, T - 1)
+    row = (1.0 - wt) * plane[:, t0, :] + wt * plane[:, t1, :]    # (C, S)
+    x = jnp.clip((xcoord + 1.0) * 0.5 * (S - 1), 0.0, S - 1)     # (N,)
+    hat = jax.nn.relu(1.0 - jnp.abs(
+        x[:, None] - jax.lax.iota(jnp.float32, S)[None, :]))     # (N, S)
+    return jax.lax.dot_general(hat, row, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
 def hexplane_features(params: dict, pts: jnp.ndarray,
-                      times: jnp.ndarray) -> jnp.ndarray:
+                      times: jnp.ndarray,
+                      uniform_time: bool = False) -> jnp.ndarray:
     """pts (N, 3) world coords, times (N,) in [0, 1] -> (N, feat_dim).
 
     normalize_aabb (hexplane.py:19-20): x_norm = (x - aabb[0]) * 2 /
@@ -79,20 +109,31 @@ def hexplane_features(params: dict, pts: jnp.ndarray,
 
     QUIRK PRESERVED: the reference concatenates the raw time in [0, 1]
     *without* remapping to [-1, 1] (hexplane.py:163-164), so the time axis of
-    the temporal planes only uses its upper half.  We reproduce that."""
+    the temporal planes only uses its upper half.  We reproduce that.
+
+    ``uniform_time=True`` asserts every entry of ``times`` equals
+    ``times[0]`` (true for all live renders — render.py:55 broadcasts the
+    camera time).  With MOM_TPU_TIME_MM=1 the temporal planes then sample
+    via a t-slice + hat-weight MXU matmul instead of per-point patch
+    gathers (see _time_plane_sample_mm)."""
     aabb = params["aabb"]
     pts_n = (pts - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
     coords4 = jnp.concatenate([pts_n, times[:, None]], axis=-1)   # (N, 4)
+    time_mm = uniform_time and os.environ.get("MOM_TPU_TIME_MM") == "1"
 
     features = []
     for scale_planes in params["grids"]:
         interp = 1.0
         for ci, (a, b) in enumerate(COO_COMBS):
+            plane = scale_planes[ci]
+            if time_mm and b == 3:
+                interp = interp * _time_plane_sample_mm(
+                    plane, coords4[:, a], times[0])
+                continue
             c2 = jnp.stack([coords4[:, a], coords4[:, b]], axis=-1)
             # patch-table path: one aligned 128-lane row gather per sample
             # instead of four 32-lane corner gathers (4x less TPU gather
             # traffic at 1M+ points; see ops/gridsample.py docstring)
-            plane = scale_planes[ci]
             _, ph, pw = plane.shape
             interp = interp * grid_sample_2d_patched(
                 build_patch_table(plane), ph, pw, c2)

@@ -130,12 +130,24 @@ def _patch_gather_fwd(patches, idx):
 def _patch_gather_bwd(res, g_rows):
     idx, n_cells = res
     n = idx.shape[0]
-    order = _jax.lax.sort((idx, _jax.lax.iota(jnp.int32, n)), num_keys=1)[1]
+    import os as _os
+    if _os.environ.get("MOM_TPU_SEG_RADIX") == "1":
+        # 2-pass MXU counting argsort over the <=16k-cell id domain instead
+        # of an O(n log^2 n) comparison network (scanprims.py)
+        from .scanprims import counting_argsort
+        order = counting_argsort(idx, n_cells)
+    else:
+        order = _jax.lax.sort((idx, _jax.lax.iota(jnp.int32, n)),
+                              num_keys=1)[1]
     g_sorted = jnp.take(g_rows, order, axis=0)
     idx_sorted = jnp.take(idx, order)
+    if _os.environ.get("MOM_TPU_BLOCK_CUMSUM") == "1":
+        from .scanprims import blocked_cumsum
+        inc = blocked_cumsum(g_sorted)
+    else:
+        inc = jnp.cumsum(g_sorted, axis=0)
     csum = jnp.concatenate(
-        [jnp.zeros((1, g_rows.shape[1]), g_rows.dtype),
-         jnp.cumsum(g_sorted, axis=0)], axis=0)
+        [jnp.zeros((1, g_rows.shape[1]), g_rows.dtype), inc], axis=0)
     cells = jnp.arange(n_cells, dtype=jnp.int32)
     starts = jnp.searchsorted(idx_sorted, cells, side="left")
     ends = jnp.searchsorted(idx_sorted, cells + 1, side="left")

@@ -161,40 +161,10 @@ def _gather_packed_rows(cols: list, seg: jnp.ndarray) -> list:
     return out
 
 
-def _rank_by_digit(digits: jnp.ndarray, n_digits: int,
-                   block: int = 256) -> jnp.ndarray:
-    """Stable counting-sort rank: position of each element in the array
-    stably sorted by ``digits`` (values in [0, n_digits)).
-
-    MXU formulation: per 256-element block, a one-hot (block, D) matrix
-    against a triangular matmul gives every element's inclusive prefix
-    count among equal digits; block histograms cumsum across blocks and
-    digit totals cumsum across digits supply the bases.  All integer
-    counts stay <= block in bf16 (exact to 256) and <= 16.7M in fp32.
-
-    This replaces an O(n log^2 n) comparison-sort network with O(n*D/MXU)
-    matmuls + O(n) elementwise — at D <= ~128 digits it is an order of
-    magnitude less work than lax.sort at multi-million n."""
-    N = digits.shape[0]
-    if N % block:
-        block = 128                      # key_cap is always 128-aligned
-    assert N % block == 0, (N, block)
-    nb = N // block
-    d = digits.reshape(nb, block)
-    onehot = (d[..., None] == jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, n_digits), 2)).astype(jnp.bfloat16)
-    tril = jnp.tril(jnp.ones((block, block), jnp.bfloat16))
-    incl = jax.lax.dot_general(
-        tril, onehot, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (block, nb, D)
-    incl = incl.transpose(1, 0, 2)                     # (nb, block, D)
-    rank_in_block = jnp.sum(incl * (onehot != 0), axis=-1) - 1.0
-    hist = incl[:, -1, :]                              # (nb, D)
-    block_base = jnp.cumsum(hist, axis=0) - hist       # (nb, D) exclusive
-    counts = jnp.sum(hist, axis=0)                     # (D,)
-    digit_base = jnp.cumsum(counts) - counts           # (D,)
-    base = jnp.take_along_axis(digit_base[None] + block_base, d, axis=1)
-    return (base + rank_in_block).astype(jnp.int32).reshape(N)
+# MXU counting-sort rank (shared with the segment-sum VJPs) — the
+# replacement for O(n log^2 n) comparison-sort networks at small digit
+# domains; see scanprims.py for the formulation.
+from .scanprims import blocked_cumsum, rank_by_digit as _rank_by_digit
 
 
 def _radix_sort_tiles(tile_id: jnp.ndarray, grid_x: int, num_tiles: int):
@@ -360,8 +330,13 @@ def _expand_rows_bwd(key_cap, res, gfeat):
         jnp.arange(pcap, dtype=jnp.int32), mode="drop")
     g_pre = jnp.take(g_inst, pad_of_pre, axis=0, mode="fill",
                      fill_value=0.0)                        # (key_cap, NFEAT)
+    if os.environ.get("MOM_TPU_BLOCK_CUMSUM") == "1":
+        # one-pass MXU prefix sum vs jnp.cumsum's ~log2(n) HBM passes
+        inc = blocked_cumsum(g_pre)
+    else:
+        inc = jnp.cumsum(g_pre, axis=0)
     csum = jnp.concatenate([jnp.zeros((1, g_pre.shape[1]), g_pre.dtype),
-                            jnp.cumsum(g_pre, axis=0)], axis=0)
+                            inc], axis=0)
     # clamp segment bounds: under key_cap overflow the last gaussians' slot
     # ranges extend past the buffer (their dropped instances contributed
     # nothing, so clipping gives the exact surviving-instance sum); jnp.take

@@ -164,7 +164,7 @@ def make_ps_train_step(mesh: Mesh, opt_cfg, hidden_cfg,
             means_f, scales_f, rot_f, opac_f, shs_f = D.deform(
                 deform, deform_cfg, means3d, params.scaling, params.rotation,
                 params.opacity, shs, times, aux.scene_flow,
-                cam["frame_num"], 1.0)
+                cam["frame_num"], 1.0, uniform_time=True)
         scales_act = jnp.exp(scales_f)
         rot_act = rot_f / jnp.maximum(
             jnp.linalg.norm(rot_f, axis=-1, keepdims=True), 1e-12)

@@ -56,7 +56,7 @@ def render(params: G.GaussianParams, aux: G.GaussianAux,
         means_f, scales_f, rot_f, opac_f, shs_f = D.deform(
             deform_params, deform_cfg, means3d, scales_raw, rot_raw,
             opacity_raw, shs, times, aux.scene_flow, cam["frame_num"],
-            delta_scale)
+            delta_scale, uniform_time=True)
 
     scales_act = jnp.exp(scales_f) * scaling_modifier
     # torch F.normalize semantics: denominator clamped (a deformed quaternion

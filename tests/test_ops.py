@@ -108,3 +108,126 @@ def test_grid_sample_patched_matches_plain():
     # the sorted-segment-sum VJP accumulates per-cell contributions in
     # index order, not scatter order: pure fp32 reordering noise
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# MXU scan/sort primitives (ops/scanprims.py) and the gated segment-sum VJPs
+
+
+def test_blocked_cumsum_matches_cumsum():
+    import jax
+    from mom_tpu.ops.scanprims import blocked_cumsum
+    rng = np.random.RandomState(3)
+    for n, c in [(1024, 16), (2048, 128), (896, 8), (257, 4), (128, 4)]:
+        x = jnp.asarray(rng.randn(n, c).astype(np.float32))
+        got = np.asarray(jax.jit(blocked_cumsum)(x))
+        ref = np.cumsum(np.asarray(x, np.float64), axis=0)
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+
+def test_counting_argsort_matches_lax_sort():
+    import jax
+    from mom_tpu.ops.scanprims import counting_argsort
+    rng = np.random.RandomState(4)
+    for n, n_vals in [(1024, 100), (1000, 128), (4096, 4096),
+                      (777, 16384), (512, 1)]:
+        idx = jnp.asarray(rng.randint(0, n_vals, n).astype(np.int32))
+        got = np.asarray(jax.jit(
+            lambda i: counting_argsort(i, n_vals))(idx))
+        ref = np.asarray(jax.lax.sort(
+            (idx, jax.lax.iota(jnp.int32, n)), num_keys=1)[1])
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_patch_gather_vjp_gates_match_default(monkeypatch):
+    """MOM_TPU_SEG_RADIX / MOM_TPU_BLOCK_CUMSUM must reproduce the default
+    patch-gather gradient (the hexplane backward hot path)."""
+    import jax
+    from mom_tpu.ops.gridsample import (build_patch_table,
+                                        grid_sample_2d_patched)
+    rng = np.random.RandomState(5)
+    C, H, W = 8, 17, 13
+    grid = jnp.asarray(rng.randn(C, H, W).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1.1, 1.1, (640, 2)).astype(np.float32))
+
+    def loss(g, c):
+        pt = build_patch_table(g)
+        out = grid_sample_2d_patched(pt, H, W, c)
+        return jnp.sum(out * jnp.cos(out))
+
+    ref = jax.grad(loss, argnums=(0, 1))(grid, coords)
+    monkeypatch.setenv("MOM_TPU_SEG_RADIX", "1")
+    monkeypatch.setenv("MOM_TPU_BLOCK_CUMSUM", "1")
+    got = jax.grad(loss, argnums=(0, 1))(grid, coords)
+    for g, r in zip(got, ref):
+        # both paths compute segment sums as prefix differences; the blocked
+        # path reassociates the fp32 summation, so agreement is bounded by
+        # cancellation at ~eps * |prefix|, not exact
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=3e-4, rtol=1e-4)
+
+
+def test_expand_rows_bwd_block_cumsum_matches(monkeypatch):
+    """The rasterizer's instance-gradient segment sum under
+    MOM_TPU_BLOCK_CUMSUM matches the jnp.cumsum path."""
+    import jax
+    from mom_tpu.ops import rasterize as R
+
+    rng = np.random.RandomState(6)
+    P, key_cap = 40, 512
+    table = jnp.asarray(rng.randn(P, R.NFEAT).astype(np.float32))
+    areas = rng.randint(0, 30, P).astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(areas)[:-1]]).astype(np.int32)
+    total = int(areas.sum())
+    # identity ranked->padded layout with some pad slots interleaved
+    gid = np.repeat(np.arange(P, dtype=np.int32), areas)
+    pcap = 768
+    origin = np.full(pcap, key_cap, np.int32)
+    origin[:total] = np.arange(total, dtype=np.int32)
+    gidp = np.zeros(pcap, np.int32)
+    gidp[:total] = gid
+
+    def f(t):
+        return R._expand_rows(key_cap, t, jnp.asarray(gidp),
+                              jnp.asarray(origin), jnp.asarray(offs),
+                              jnp.asarray(areas))
+
+    ct = jnp.asarray(rng.randn(R.NFEAT, pcap).astype(np.float32))
+    ref = jax.vjp(f, table)[1](ct)[0]
+    monkeypatch.setenv("MOM_TPU_BLOCK_CUMSUM", "1")
+    got = jax.vjp(f, table)[1](ct)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_hexplane_time_matmul_matches_patch_path(monkeypatch):
+    """MOM_TPU_TIME_MM (uniform-time temporal-plane matmul) must match the
+    patch-gather path on features AND gradients."""
+    import jax
+    from mom_tpu.models import hexplane as HX
+    cfg = HX.HexPlaneConfig(out_dim=8, resolution=(16, 16, 16, 7),
+                            multires=(1, 2))
+    params = HX.init_hexplane(jax.random.PRNGKey(0), cfg, bounds=1.3)
+    # give time planes non-trivial content (they init to ones)
+    params["grids"] = [
+        [p + 0.3 * jnp.sin(jnp.arange(p.size, dtype=jnp.float32)
+                           ).reshape(p.shape) for p in scale]
+        for scale in params["grids"]]
+    rng = np.random.RandomState(7)
+    pts = jnp.asarray(rng.uniform(-1.2, 1.2, (384, 3)).astype(np.float32))
+    times = jnp.broadcast_to(jnp.float32(0.37), (384,))
+
+    def loss(p, x, t):
+        f = HX.hexplane_features(p, x, t, uniform_time=True)
+        return jnp.sum(jnp.sin(f)), f
+
+    (l0, f0), g0 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        params, pts, times)
+    monkeypatch.setenv("MOM_TPU_TIME_MM", "1")
+    (l1, f1), g1 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+        params, pts, times)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               atol=2e-5, rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)

@@ -28,6 +28,14 @@ AB_BUDGET=900 run radix    MOM_TPU_BIN_RADIX=1
 AB_BUDGET=900 run mxusplit MOM_TPU_MXU_SPLIT=2
 AB_BUDGET=900 run chunk256 MOM_TPU_CHUNK=256
 AB_BUDGET=900 run radix_split MOM_TPU_BIN_RADIX=1 MOM_TPU_MXU_SPLIT=2
+# round-3 backward-path gates (scanprims.py / hexplane time matmul)
+AB_BUDGET=900 run timemm     MOM_TPU_TIME_MM=1
+AB_BUDGET=900 run blockcumsum MOM_TPU_BLOCK_CUMSUM=1
+AB_BUDGET=900 run segradix   MOM_TPU_SEG_RADIX=1
+AB_BUDGET=900 run bwd_all MOM_TPU_TIME_MM=1 MOM_TPU_BLOCK_CUMSUM=1 \
+    MOM_TPU_SEG_RADIX=1
+AB_BUDGET=1200 run all_on MOM_TPU_TIME_MM=1 MOM_TPU_BLOCK_CUMSUM=1 \
+    MOM_TPU_SEG_RADIX=1 MOM_TPU_BIN_RADIX=1
 
 python - <<'EOF'
 import json, glob
