@@ -95,6 +95,12 @@ cp BENCH_BANK.json runlogs/ 2>/dev/null
 run bench_512_radix 1200 MOM_TPU_BENCH_BUDGET=1100 MOM_TPU_BIN_RADIX=1 \
     -- python bench.py
 
+# 6b. one-attach gate sweep at production scale: baseline vs the round-3
+#     backward-path gates (TIME_MM / BLOCK_CUMSUM / SEG_RADIX / BIN_RADIX)
+run gate_sweep 2400 NONE=1 -- python tools/gate_sweep.py 921600 1280x720 8 \
+    --out /tmp/tpu_window/gate_sweep.json
+cp /tmp/tpu_window/gate_sweep.json runlogs/ 2>/dev/null
+
 # 7. band-locality demonstration (VERDICT stretch #9) if time remains
 run band_locality 1500 NONE=1 -- python tools/band_locality.py \
     921600 1280x720 4 8

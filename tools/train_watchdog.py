@@ -86,6 +86,7 @@ def main():
         last_size = os.path.getsize(args.log)
         last_ticks = cpu_ticks() or 0
         last_active = time.time()
+        last_log_growth = time.time()
         stalled = False
         while True:
             time.sleep(30)
@@ -96,7 +97,9 @@ def main():
             ticks = cpu_ticks()
             # "active" = the log grew OR the child is burning CPU (an XLA
             # compile is log-silent for many minutes but CPU-hot; a wedged
-            # tunnel stream is both silent AND idle)
+            # tunnel stream is usually silent AND idle)
+            if size != last_size:
+                last_log_growth = time.time()
             if size != last_size or (ticks is not None
                                      and ticks - last_ticks > 100):
                 last_active = time.time()
@@ -106,9 +109,19 @@ def main():
             allowance = (args.startup_grace_sec
                          if time.time() - start < args.startup_grace_sec
                          else args.stall_sec)
-            if time.time() - last_active > allowance:
+            # hard cap: a wedged tunnel client can SPIN (grpc poll/keepalive
+            # burns CPU with zero training progress — observed r3, coarse
+            # 2100: 20+ min CPU-hot wedge the CPU exemption kept alive).
+            # Mid-run the log grows every <=100 iterations (~1 min); even
+            # a full 25-view eval stays well under this.
+            hard = max(args.startup_grace_sec
+                       if time.time() - start < args.startup_grace_sec
+                       else 0, 3 * args.stall_sec)
+            if (time.time() - last_active > allowance
+                    or time.time() - last_log_growth > hard):
                 print(f"[watchdog] STALL (> {allowance}s without log or "
-                      "CPU progress) — killing", flush=True)
+                      "CPU progress, or > {0}s without log growth) — "
+                      "killing".format(hard), flush=True)
                 proc.send_signal(signal.SIGKILL)
                 proc.wait()
                 stalled = True
