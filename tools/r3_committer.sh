@@ -7,7 +7,7 @@ set -u
 cd "$(dirname "$0")/.."
 SCENE=demo/scene_0
 STATE=/tmp/r3_committer.state   # last banked checkpoint iter
-RESCUE_STRIDE=${RESCUE_STRIDE:-6000}
+RESCUE_STRIDE=${RESCUE_STRIDE:-5000}
 INTERVAL=${INTERVAL:-900}
 mkdir -p runlogs "$SCENE/rescue"
 [ -f "$STATE" ] || echo "-1 coarse" > "$STATE"
@@ -42,12 +42,13 @@ bank_checkpoint() {
         fi
     done
     [ -n "$best" ] || return 0
-    # bank only fine-stage checkpoints from iteration 8000 on: earlier state
-    # is cheap to recompute from the banked stage-1 artifacts, and pre-prune
-    # checkpoints are ~900 MB of incompressible fp32 (post-prune ones gzip
-    # to ~250 MB — the dead capacity slots are zeros)
+    # bank fine-stage checkpoints from iteration 4000 on: VM resets arrive
+    # every ~3.5-4h while fine 8000 takes ~4h from a cold start, so the old
+    # 8000 threshold meant a reset always erased the whole run.  One
+    # pre-prune bank is ~700 MB gzipped (fp32 compresses poorly); post-prune
+    # ones shrink to ~250 MB — the dead capacity slots are zeros.
     [ "$best_stage" = fine ] || return 0
-    [ "$best_iter" -ge 8000 ] || return 0
+    [ "$best_iter" -ge 4000 ] || return 0
     local last_rank=$last_iter
     [ "$last_stage" = fine ] || last_rank=-1
     if [ $((best_iter - last_rank)) -ge "$RESCUE_STRIDE" ] \
