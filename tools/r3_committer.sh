@@ -7,7 +7,7 @@ set -u
 cd "$(dirname "$0")/.."
 SCENE=demo/scene_0
 STATE=/tmp/r3_committer.state   # last banked checkpoint iter
-RESCUE_STRIDE=${RESCUE_STRIDE:-5000}
+RESCUE_STRIDE=${RESCUE_STRIDE:-2500}
 INTERVAL=${INTERVAL:-900}
 mkdir -p runlogs "$SCENE/rescue"
 [ -f "$STATE" ] || echo "-1 coarse" > "$STATE"
@@ -48,7 +48,7 @@ bank_checkpoint() {
     # pre-prune bank is ~700 MB gzipped (fp32 compresses poorly); post-prune
     # ones shrink to ~250 MB — the dead capacity slots are zeros.
     [ "$best_stage" = fine ] || return 0
-    [ "$best_iter" -ge 4000 ] || return 0
+    [ "$best_iter" -ge 2000 ] || return 0
     local last_rank=$last_iter
     [ "$last_stage" = fine ] || last_rank=-1
     if [ $((best_iter - last_rank)) -ge "$RESCUE_STRIDE" ] \
