@@ -1,0 +1,90 @@
+#!/bin/bash
+# Round-4 full-run orchestrator: scene_0 full fine-20k schedule (resuming
+# from the banked coarse_3000 checkpoint), then scene_1 and scene_2
+# end-to-end on the reduced r4 schedule (coarse 3000 + fine 7000).  Launched
+# once in the background; progress goes to /tmp/r4_orch.log.  Idempotent:
+# every stage is guarded by its on-disk contract, so a relaunch after a VM
+# reset skips completed work and resumes mid-stage via the watchdog.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/r4_orch.log
+echo "[orch] start $(date -u)" >> "$LOG"
+
+probe() {
+    timeout 300 python -c \
+        "import jax; d = jax.devices(); print('ALIVE', d, flush=True)" \
+        >> "$LOG" 2>&1
+}
+
+until probe; do
+    # a wedged tunnel stream needs ~10 min of full client silence before a
+    # new client can attach reliably (RESULTS.md round-2/3 tunnel notes)
+    echo "[orch] tunnel unresponsive $(date -u); quiet 600 s" >> "$LOG"
+    sleep 600
+done
+echo "[orch] tunnel alive $(date -u)" >> "$LOG"
+
+restore_scene() {  # restore_scene <scene_dir>
+    local S=$1
+    if [ ! -f "$S/MOM/train_data.pth" ] \
+        && [ -f "$S/rescue/mom_stage1.tar.gz" ]; then
+        tar -xzf "$S/rescue/mom_stage1.tar.gz" -C "$S"
+        echo "[orch] restored $S stage-1 MOM from rescue" >> "$LOG"
+    fi
+    for gz in "$S"/rescue/chkpnt_*.npz.gz; do
+        [ -f "$gz" ] || continue
+        local tgt=$S/$(basename "${gz%.gz}")
+        if [ ! -f "$tgt" ]; then
+            gunzip -c "$gz" > "$tgt"
+            echo "[orch] restored $(basename "$tgt") from rescue" >> "$LOG"
+        fi
+    done
+}
+
+run_stage1() {  # run_stage1 <scene_dir> <logname>
+    local S=$1 L=$2
+    [ -f "$S/MOM/train_data.pth" ] && return 0
+    for i in 1 2 3; do
+        timeout 7200 python train_motion.py --input_dir "$S" \
+            > "$L" 2>&1 && break
+        echo "[orch] $S stage1 attempt $i failed rc=$?; quiet 600 s" >> "$LOG"
+        sleep 600
+    done
+    [ -f "$S/MOM/train_data.pth" ]
+}
+
+# ---------- scene_0: full 3k coarse + 20k fine ----------
+restore_scene demo/scene_0
+if [ ! -d demo/scene_0/point_cloud/iteration_20000 ]; then
+    run_stage1 demo/scene_0 /tmp/stage1.log || {
+        echo "[orch] scene_0 stage1 FAILED, aborting" >> "$LOG"; exit 1; }
+    echo "[orch] scene_0 stage2 start $(date -u)" >> "$LOG"
+    python tools/train_watchdog.py --input_dir demo/scene_0 \
+        --expname full_r4 --log /tmp/full_r4.log \
+        -- --test_iterations 3000 7000 14000 20000 >> "$LOG" 2>&1
+    echo "[orch] scene_0 stage2 watchdog exited rc=$? $(date -u)" >> "$LOG"
+else
+    echo "[orch] scene_0 already complete" >> "$LOG"
+fi
+
+# ---------- scenes 1 & 2: reduced schedule ----------
+for n in 1 2; do
+    S=demo/scene_$n
+    restore_scene "$S"
+    if [ -d "$S/point_cloud/iteration_7000" ]; then
+        echo "[orch] $S already complete" >> "$LOG"
+        continue
+    fi
+    run_stage1 "$S" /tmp/stage1_s$n.log || {
+        echo "[orch] $S stage1 FAILED, skipping scene" >> "$LOG"; continue; }
+    echo "[orch] $S stage2 start $(date -u)" >> "$LOG"
+    python tools/train_watchdog.py --input_dir "$S" \
+        --expname full_r4_s$n --log /tmp/full_r4_s$n.log \
+        -- --configs arguments/dnerf/r4_reduced.py \
+           --test_iterations 3000 7000 \
+           --save_iterations 7000 \
+           --video_iterations 7000 >> "$LOG" 2>&1
+    echo "[orch] $S stage2 watchdog exited rc=$? $(date -u)" >> "$LOG"
+done
+echo "[orch] ALL RUNS DONE $(date -u)" >> "$LOG"
+touch /tmp/r4_runs_done
