@@ -28,14 +28,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input_dir", required=True)
     ap.add_argument("--checkpoint", default=None,
-                    help="defaults to the newest chkpnt_*_*.npz in input_dir")
+                    help="defaults to the newest NON-reset-boundary "
+                         "chkpnt_*_*.npz in input_dir")
+    ap.add_argument("--allow_reset_boundary", action="store_true",
+                    help="evaluate a post-opacity-reset checkpoint anyway")
     ap.add_argument("--key_cap_mult", type=float, default=4.0)
+    ap.add_argument("--lpips", action="store_true",
+                    help="also score LPIPS (random-init AlexNet fallback "
+                         "when no converted weights exist on this machine)")
     ap.add_argument("--json", default=None, help="also write result here")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from train_watchdog import newest_checkpoint
-    ckpt_path = args.checkpoint or newest_checkpoint(args.input_dir)
+    from ckpt_select import pick_checkpoint
+    ckpt_path = pick_checkpoint(args.input_dir, args.checkpoint,
+                                args.allow_reset_boundary)
     assert ckpt_path, "no checkpoint found"
     m = re.match(r"chkpnt_(coarse|fine)_(\d+)\.npz",
                  os.path.basename(ckpt_path))
@@ -106,6 +113,30 @@ def main():
               "n_views": len(test_cams), "alive_points": n0,
               "l1": float(jnp.mean(l1s)), "psnr": float(jnp.mean(psnrs)),
               "ssim": float(jnp.mean(ssims))}
+
+    if args.lpips:
+        # LPIPS over the rendered test views (reference wires lpips into
+        # loss_utils, utils/loss_utils.py:20-22).  Without a converted
+        # alexnet checkpoint on this machine the metric falls back to a
+        # deterministic random-init net — comparable across our own runs,
+        # NOT comparable to published LPIPS numbers; flagged in the output.
+        from mom_tpu.train import lpips as LP
+        lp_path = os.environ.get("MOM_TPU_LPIPS_CKPT")
+        lp_params = LP.load_lpips(lp_path if lp_path
+                                  and os.path.exists(lp_path) else None)
+        rs = pipeline.make_render_scan(deform_cfg, W, H, bg, stage=stage,
+                                       key_cap=key_cap)
+        frames = rs(state.gauss.params, state.gauss.aux, state.deform,
+                    {k: jnp.asarray(v) for k, v in packed.items()})
+        dist = jax.jit(LP.lpips_distance)
+        vals = [float(dist(lp_params,
+                           frames[i].astype(jnp.float32) / 255.0,
+                           gts[i].astype(jnp.float32) / 255.0))
+                for i in range(len(test_cams))]
+        result["lpips"] = float(np.mean(vals))
+        result["lpips_backend"] = ("converted-weights" if lp_path
+                                   and os.path.exists(lp_path)
+                                   else "random-init-fallback")
     print(json.dumps(result), flush=True)
     if args.json:
         with open(args.json, "w") as f:

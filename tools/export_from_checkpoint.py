@@ -26,15 +26,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input_dir", required=True)
     ap.add_argument("--checkpoint", default=None,
-                    help="defaults to the newest chkpnt_*_*.npz in input_dir")
+                    help="defaults to the newest NON-reset-boundary "
+                         "chkpnt_*_*.npz in input_dir")
+    ap.add_argument("--allow_reset_boundary", action="store_true",
+                    help="export a post-opacity-reset checkpoint anyway")
     ap.add_argument("--render", action="store_true")
     ap.add_argument("--expname", default="full_r2")
     ap.add_argument("--key_cap_mult", type=float, default=4.0)
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from train_watchdog import newest_checkpoint  # same tools dir
-    ckpt_path = args.checkpoint or newest_checkpoint(args.input_dir)
+    from ckpt_select import pick_checkpoint
+    ckpt_path = pick_checkpoint(args.input_dir, args.checkpoint,
+                                args.allow_reset_boundary)
     assert ckpt_path, "no checkpoint found"
     import re
     m = re.match(r"chkpnt_(coarse|fine)_(\d+)\.npz",
