@@ -50,6 +50,67 @@ V5E_PEAK_BF16 = 197e12  # TPU v5e peak (bf16 TFLOP/s); fp32 runs below this
 # rasterizer training step at 65,536 points, 512x512
 ORACLE_IPS_65K = 0.234
 ORACLE_PTS = 65_536
+ORACLE_BANK_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "ORACLE_BANK.json")
+
+# Compute-path gate env vars (ops/rasterize.py, ops/scanprims.py,
+# train/loop.py): a bench run with ANY of these set is an A/B experiment,
+# not the driver-official configuration — it must neither overwrite the
+# stale-fallback bank nor ship the banked number as its own (round-3
+# advisor finding: a MOM_TPU_BIN_RADIX=1 A/B run silently overwrote the
+# default-path bank).
+GATE_ENV_VARS = ("MOM_TPU_BIN_RADIX", "MOM_TPU_BIN_V2",
+                 "MOM_TPU_BLOCK_CUMSUM", "MOM_TPU_CHUNK",
+                 "MOM_TPU_MXU_SPLIT", "MOM_TPU_SEG_RADIX",
+                 "MOM_TPU_INTERPRET")
+
+
+def _active_gates():
+    return {k: os.environ[k] for k in GATE_ENV_VARS if k in os.environ}
+
+
+def _off_default_config():
+    """True for any run that is not the driver-official configuration."""
+    return (os.environ.get("MOM_TPU_BENCH_CPU") == "1"
+            or "MOM_TPU_BENCH_PTS" in os.environ
+            or "MOM_TPU_BENCH_RES" in os.environ
+            or bool(_active_gates()))
+
+
+def _oracle_baseline(n_pts: int, res: str):
+    """(iters_per_sec, provenance dict).  Prefers a MEASURED oracle number
+    at this exact scale (tools/measure_oracle.py banks one into
+    ORACLE_BANK.json); falls back to the round-1 65k measurement scaled
+    linearly in P (exact for the oracle's O(P*pixels) inner loop)."""
+    try:
+        with open(ORACLE_BANK_PATH) as f:
+            bank = json.load(f)
+        for rec in bank if isinstance(bank, list) else [bank]:
+            if rec.get("n_points") == n_pts and rec.get("resolution") == res:
+                prov = {"iters_per_sec": rec["iters_per_sec"],
+                        "provenance": "measured",
+                        "measured_at": rec.get("measured_at"),
+                        "detail": rec.get("detail")}
+                return float(rec["iters_per_sec"]), prov
+            # measured at another point count, same resolution: linear-in-P
+            # rescale of a measurement at this resolution still beats the
+            # round-1 65k anchor
+            if rec.get("resolution") == res and rec.get("n_points"):
+                ips = float(rec["iters_per_sec"]) * rec["n_points"] / n_pts
+                prov = {"iters_per_sec": round(ips, 4),
+                        "provenance": (f"measured at {rec['n_points']} pts, "
+                                       "linear-in-P rescale"),
+                        "measured_at": rec.get("measured_at")}
+                return ips, prov
+    except FileNotFoundError:
+        pass
+    except Exception as e:                                    # noqa: BLE001
+        log(f"oracle bank unreadable: {e}")
+    ips = ORACLE_IPS_65K * (ORACLE_PTS / n_pts)
+    return ips, {"iters_per_sec_65k": ORACLE_IPS_65K,
+                 "provenance": "BENCH_r01.json round-1 measurement on this "
+                               "chip",
+                 "extrapolation": "linear in P (O(P*pixels) oracle)"}
 
 _result = {"metric": "4dgs_fine_train_iters_per_sec_512px_262k",
            "value": None, "unit": "iter/s", "vs_baseline": None,
@@ -87,11 +148,10 @@ def _flush_stale_bank(reason):
     Only the driver-official configuration may fall back to the bank: a
     CPU smoke run or a scale-overridden A/B run must never ship the banked
     TPU number as its own."""
-    if (os.environ.get("MOM_TPU_BENCH_CPU") == "1"
-            or "MOM_TPU_BENCH_PTS" in os.environ
-            or "MOM_TPU_BENCH_RES" in os.environ):
+    if _off_default_config():
         _result["extra"] = {"status": f"no_data: {reason} "
-                            "(bank fallback disabled off-default-config)"}
+                            "(bank fallback disabled off-default-config)",
+                            "active_gates": _active_gates()}
         _result["extra"]["elapsed_s"] = round(time.time() - T0, 1)
         _print_once()
         os._exit(0)
@@ -300,7 +360,7 @@ def main():
     compile_s = time.time() - tc
     log(f"step compiled+first-run in {compile_s:.1f}s")
 
-    oracle_ips = ORACLE_IPS_65K * (ORACLE_PTS / N_PTS)
+    oracle_ips, oracle_prov = _oracle_baseline(N_PTS, f"{W}x{H}")
     pf_fwd, pf_bwd = pallas_flops(key_cap, W, H)
 
     # measure in two batches and BANK the preliminary result after the
@@ -401,13 +461,12 @@ def main():
                            "pallas_composite_bwd": pf_bwd},
         "step_ms": round(step_s * 1e3, 1),
         "compile_s": round(compile_s, 1),
-        "oracle_baseline": {
-            "iters_per_sec_65k": ORACLE_IPS_65K,
-            "provenance": "BENCH_r01.json round-1 measurement on this chip",
-            "extrapolation": "linear in P (O(P*pixels) oracle)"},
+        "oracle_baseline": oracle_prov,
         "gt": "demo/scene_0 photo crops",
         "backend": jax.default_backend(),
     }
+    if _active_gates():
+        _result["extra"]["active_gates"] = _active_gates()
 
     # ---- best-effort step-time breakdown ------------------------------
     try:
@@ -419,12 +478,11 @@ def main():
         log(f"breakdown skipped: {e}")
     _result["extra"]["elapsed_s"] = round(time.time() - T0, 1)
     signal.alarm(0)
-    if (jax.default_backend() != "cpu"
-            and "MOM_TPU_BENCH_PTS" not in os.environ
-            and "MOM_TPU_BENCH_RES" not in os.environ):
-        # seed the stale-fallback bank for wedged runs — but only at the
-        # driver-official default scale, so A/B runs at other scales don't
-        # overwrite the bank the driver's own run would want
+    if jax.default_backend() != "cpu" and not _off_default_config():
+        # seed the stale-fallback bank for wedged runs — but only in the
+        # driver-official configuration (default scale AND no compute-path
+        # gate envs), so A/B runs never overwrite the bank the driver's
+        # own run would want
         _bank_result()
     _print_once()
 

@@ -187,6 +187,123 @@ def _radix_sort_tiles(tile_id: jnp.ndarray, grid_x: int, num_tiles: int):
     return t1[src2], src1[src2]
 
 
+LANE = 512   # tile-id column chunk width inside the counting-layout kernels
+
+
+def _bin_v2_block(key_cap: int) -> int:
+    for c in (1024, 512, 256, 128):
+        if key_cap % c == 0:
+            return c
+    raise ValueError(f"key_cap {key_cap} not 128-aligned")
+
+
+def _hist_kernel(C: int, n_lane_chunks: int):
+    """Per-block tile histogram: for each block of C instance slots, counts
+    per tile id (including the pad sentinel column).  Pure int32 VPU work —
+    one [C, LANE] one-hot compare + sublane reduce per lane chunk, never
+    materializing the one-hot in HBM (the round-3 radix path's failure
+    mode: rank_by_digit's (N, D) HBM one-hots OOM'd every 720p combo)."""
+
+    def kernel(tcol_ref, hist_ref):
+        t = tcol_ref[...]                                  # (C, 1) int32
+        for k in range(n_lane_chunks):
+            lo = k * LANE
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1) + lo
+            onehot = (t == lane).astype(jnp.int32)         # (C, LANE)
+            hist_ref[:, lo:lo + LANE] = jnp.sum(onehot, axis=0,
+                                                keepdims=True)
+
+    return kernel
+
+
+def _dest_kernel(C: int, n_lane_chunks: int, num_tiles: int, pcap: int):
+    """Per-instance destination slot in the CHUNK-padded tile-grouped
+    layout: dest = pstart[tile] + (#earlier blocks' instances on this tile)
+    + (#earlier same-tile instances within this block).
+
+    The within-block rank is a [C, C] equality x strict-lower-triangle
+    compare-reduce; the per-tile destination base is gathered from the
+    prefetched (combined pstart + cross-block-prefix) row with a masked
+    int32 max — exact for any capacity (no float round-trip), no MXU."""
+
+    def kernel(tcol_ref, trow_ref, db_ref, dest_ref):
+        t = tcol_ref[...]                                  # (C, 1)
+        tr = trow_ref[...]                                 # (1, C)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+        eq = jnp.logical_and(t == tr, jj < ii)
+        within = jnp.sum(eq.astype(jnp.int32), axis=1,
+                         keepdims=True)                    # (C, 1)
+        db_g = jnp.full((C, 1), -1, jnp.int32)
+        for k in range(n_lane_chunks):
+            lo = k * LANE
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1) + lo
+            dbc = db_ref[:, lo:lo + LANE]                  # (1, LANE)
+            m = jnp.where(t == lane, dbc, -1)              # (C, LANE)
+            db_g = jnp.maximum(db_g, jnp.max(m, axis=1, keepdims=True))
+        dest_ref[...] = jnp.where(t >= num_tiles, pcap, db_g + within)
+
+    return kernel
+
+
+def _bin_layout_counting(tile_id: jnp.ndarray, gid_f: jnp.ndarray,
+                         num_tiles: int, key_cap: int, pcap: int):
+    """Counting-sort replacement for (stable tile sort + CHUNK relayout):
+    two tiny Pallas passes over the instance tile ids + one scatter write
+    the padded layout DIRECTLY — O(K) data movement instead of the
+    O(K log^2 K) lax.sort network (the round-3 profile's largest single
+    phase: 67 ms at 512^2 / 236 ms at 720p vs a ~10 ms HBM floor).
+    Output is bit-identical to the sort path on valid slots (within a
+    tile, instances stay in ascending pre-sort slot = depth order)."""
+    C = _bin_v2_block(key_cap)
+    nblk = key_cap // C
+    tp_pad = -(-(num_tiles + 1) // LANE) * LANE
+    nlc = tp_pad // LANE
+    tcol = tile_id.reshape(key_cap, 1)
+
+    hist = pl.pallas_call(
+        _hist_kernel(C, nlc),
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((C, 1), lambda b: (b, 0))],
+        out_specs=pl.BlockSpec((1, tp_pad), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((nblk, tp_pad), jnp.int32),
+        interpret=_interpret())(tcol)
+
+    base = jnp.cumsum(hist, axis=0) - hist                 # exclusive
+    counts = (base[-1] + hist[-1])[:num_tiles]
+    padded = jnp.maximum((counts + CHUNK - 1) // CHUNK, 1) * CHUNK
+    pstarts_inc = jnp.cumsum(padded)
+    pstarts = pstarts_inc - padded
+    db_row = jnp.zeros(tp_pad, jnp.int32).at[:num_tiles].set(pstarts)
+    db = base + db_row[None, :]
+
+    dest = pl.pallas_call(
+        _dest_kernel(C, nlc, num_tiles, pcap),
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((C, 1), lambda b: (b, 0)),
+                  pl.BlockSpec((1, C), lambda b: (b, 0)),
+                  pl.BlockSpec((1, tp_pad), lambda b: (b, 0))],
+        out_specs=pl.BlockSpec((C, 1), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((key_cap, 1), jnp.int32),
+        interpret=_interpret())(tcol, tile_id.reshape(nblk, C), db)
+    dest = dest.reshape(key_cap)
+
+    slots = jnp.arange(key_cap, dtype=jnp.int32)
+    packed = jnp.stack([gid_f, slots], axis=1)             # (key_cap, 2)
+    init = jnp.stack([jnp.zeros(pcap, jnp.int32),
+                      jnp.full(pcap, key_cap, jnp.int32)], axis=1)
+    out = init.at[dest].set(packed, mode="drop", unique_indices=True)
+    gid_padded, slot_origin = out[:, 0], out[:, 1]
+    slot_valid = slot_origin < key_cap
+
+    cstarts = jnp.arange(pcap // CHUNK, dtype=jnp.int32) * CHUNK
+    chunk_tile = jnp.minimum(
+        jnp.searchsorted(pstarts_inc, cstarts, side="right"),
+        num_tiles - 1).astype(jnp.int32)
+    return (gid_padded, slot_origin, slot_valid, chunk_tile,
+            pstarts, pstarts + counts)
+
+
 def bin_gaussians(pre: Preprocessed, width: int, height: int,
                   key_cap: int, row_tiles=None) -> Binning:
     """Exact duplicate-key expansion with a static capacity.
@@ -249,12 +366,27 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     tile_id = jnp.where(in_range, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
     # within a tile, slots must stay ascending = depth ascending (front to
-    # back).  Two grouping strategies with identical output:
-    #  - lax.sort on (tile, slot) as TWO explicit keys (no hidden stability
-    #    iota; slots are unique so the composite key is total)
+    # back).  Three grouping strategies with identical valid-slot output:
+    #  - MOM_TPU_BIN_V2=1: counting layout (_bin_layout_counting) — two
+    #    Pallas histogram/rank passes + one scatter write the padded
+    #    layout directly, O(K) data movement, no comparison sort at all
+    #  - default: lax.sort on (tile, slot) as TWO explicit keys (no hidden
+    #    stability iota; slots are unique so the composite key is total)
     #  - MOM_TPU_BIN_RADIX=1: stable two-pass MXU counting sort over the
     #    (tx, ty) digits (_radix_sort_tiles) — O(n*digits) matmuls instead
     #    of an O(n log^2 n) comparison network
+    if os.environ.get("MOM_TPU_BIN_V2") == "1":
+        pcap = key_cap + num_tiles * CHUNK
+        (gid_padded, slot_origin, slot_valid, chunk_tile, tstarts,
+         tends) = _bin_layout_counting(tile_id, gid_f, num_tiles, key_cap,
+                                       pcap)
+        g_offsets = jnp.zeros(P, jnp.int32).at[perm].set(offsets_r)
+        return Binning(gid_sorted=gid_padded, tile_starts=tstarts,
+                       tile_ends=tends, slot_valid=slot_valid,
+                       slot_origin=slot_origin, g_offsets=g_offsets,
+                       g_areas=areas, chunk_tile=chunk_tile,
+                       num_keys=jnp.minimum(total, key_cap),
+                       overflow=jnp.maximum(total - key_cap, 0))
     if os.environ.get("MOM_TPU_BIN_RADIX") == "1":
         tile_sorted, slot_of_sorted = _radix_sort_tiles(tile_id, grid_x,
                                                         num_tiles)

@@ -55,6 +55,69 @@ def default_key_cap_for(n: int, width: int, height: int) -> int:
     return ((cap + 127) // 128) * 128
 
 
+class _KeyCapController:
+    """Adaptive instance-budget (key_cap) control.
+
+    The CUDA reference sizes its key buffer to each view's EXACT demand
+    every iteration (resizeFunctional in rasterize_points.cu — no instance
+    is ever dropped).  A static-shape XLA program cannot reallocate per
+    step, so the cap adapts on sustained pressure instead; every change
+    recompiles the step programs (minutes through the device tunnel — the
+    hysteresis keeps changes rare).
+
+    Motivation (round 4, runlogs/full_r4.log): a watchdog restart right
+    after the fine-8000 prune recomputed key_cap from the shrunken alive
+    count (143k x 4 = 573k) while real demand was ~1.2M and rising; 50-87%
+    of instances were depth-dropped every step, train PSNR fell 43 -> 19
+    and never recovered.  Conversely the pre-prune segment ran at demand
+    8.9M against a 3.69M cap (test PSNR 21 at fine 7000), and the
+    post-prune segment binned a 3.69M cap for ~0.7M of demand (5x wasted
+    binning work).  Growth fixes the first two; shrink fixes the third.
+
+    grow:   overflow > 5% of cap at 2 consecutive log intervals
+            -> cap = 1.3 x demand
+    shrink: demand < cap/4 at 8 consecutive log intervals
+            -> cap = 1.6 x demand
+    (post-change occupancy ~77% / ~62% — both sit far from either
+    trigger, so the controller cannot oscillate)
+    """
+
+    GROW_N, SHRINK_N = 2, 8
+    GROW_MARGIN, SHRINK_MARGIN = 1.3, 1.6
+
+    def __init__(self, cap: int):
+        self.cap = int(cap)
+        self.max_cap = int(os.environ.get("MOM_TPU_MAX_KEY_CAP",
+                                          16_777_216))
+        self._grow = self._shrink = 0
+
+    def update(self, instances: int, overflow: int) -> bool:
+        """Feed one log-interval observation; True = cap changed (the
+        caller must rebuild its jitted step programs)."""
+        demand = int(instances) + int(overflow)
+        self._grow = self._grow + 1 if overflow > 0.05 * self.cap else 0
+        self._shrink = self._shrink + 1 if demand * 4 < self.cap else 0
+        new = None
+        if self._grow >= self.GROW_N:
+            # clamp to a 128-aligned max so the round-up below can't
+            # exceed max_cap
+            new = min(int(demand * self.GROW_MARGIN),
+                      (self.max_cap // 128) * 128)
+            if new <= self.cap:          # pinned at max_cap
+                new = None
+                self._grow = 0
+        elif self._shrink >= self.SHRINK_N:
+            new = int(demand * self.SHRINK_MARGIN)
+        if new is None:
+            return False
+        new = max(((new + 127) // 128) * 128, 1024)
+        self._grow = self._shrink = 0
+        if new == self.cap:
+            return False
+        self.cap = new
+        return True
+
+
 def build_initial_state(scene: SceneData, hidden: C.ModelHiddenParams,
                         opt_cfg: C.OptimizationParams, flow_scale: float,
                         seed: int = 6666):
@@ -169,19 +232,24 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
     # reference batching: nb views per iteration, loss over the stacked
     # batch, radii max / viewspace-grad sum (train_4DGS.py:172-205)
     nb = max(1, int(getattr(opt_cfg, "batch_size", 1)))
-    step = make_train_step(opt_cfg, hidden, deform_cfg, W, H, stage,
-                           spatial_lr_scale=scene.cameras_extent, bg=bg,
-                           key_cap=key_cap, backend=backend, batch_size=nb)
+    # non-event iterations run K at a time as one lax.scan program — ~4
+    # dispatches per century instead of 100 (make_chunked_steps docstring)
+    K = 33
+
+    def _build_steps(cap: int):
+        s = make_train_step(opt_cfg, hidden, deform_cfg, W, H, stage,
+                            spatial_lr_scale=scene.cameras_extent, bg=bg,
+                            key_cap=cap, backend=backend, batch_size=nb)
+        return make_chunked_steps(s, K, batch_size=nb)
+
     # Device-resident training set: upload every packed camera and GT image
     # ONCE; iterations slice their view on device (see the loop below — a
     # per-step ~2.7MB GT upload and a round-trip per dispatch were the
     # production-scale rate limiters on the device tunnel, not compute).
     packed_dev = {k: jnp.asarray(v) for k, v in packed.items()}
     gts_dev = jnp.asarray(gts)
-    # non-event iterations run K at a time as one lax.scan program — ~4
-    # dispatches per century instead of 100 (make_chunked_steps docstring)
-    K = 33
-    multistep, step1 = make_chunked_steps(step, K, batch_size=nb)
+    multistep, step1 = _build_steps(key_cap)
+    capctl = _KeyCapController(key_cap)
 
     def _draw():
         """One iteration's view pick: a scalar at nb=1 (keeps the original
@@ -258,32 +326,32 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             first_reset = it
         if first_dens and first_prune and first_reset:
             break
+    def _warm(name, fn, *args):
+        t0 = time.time()
+        try:
+            # copy only device arrays: wrapping non-array leaves would
+            # change the jit signature vs the real call and waste the warm
+            copy = jax.tree.map(
+                lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+                state)
+            out = fn(copy, *args)
+            jax.block_until_ready(
+                jax.tree.leaves(out)[0] if jax.tree.leaves(out) else out)
+            del out
+            print(f"warm: {name} compiled ({time.time() - t0:.0f}s)",
+                  flush=True)
+        except Exception as e:                            # noqa: BLE001
+            print(f"warm: {name} failed ({e}); will compile lazily",
+                  flush=True)
+
+    it0 = jnp.asarray(float(first_iter + 1), jnp.float32)
+    sh0 = jnp.asarray(sh_degree, jnp.int32)
+    vi0 = jnp.asarray(0 if nb == 1 else np.zeros(nb, np.int32), jnp.int32)
+
     if (os.environ.get("MOM_TPU_NO_WARM_STRUCTURAL") != "1"
             and first_iter < final_iter):
         # (an already-complete stage — e.g. coarse on a fine-stage resume —
         # must not burn minutes warming programs its loop will never run)
-
-        def _warm(name, fn, *args):
-            t0 = time.time()
-            try:
-                # copy only device arrays: wrapping non-array leaves would
-                # change the jit signature vs the real call and waste the warm
-                copy = jax.tree.map(
-                    lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
-                    state)
-                out = fn(copy, *args)
-                jax.block_until_ready(
-                    jax.tree.leaves(out)[0] if jax.tree.leaves(out) else out)
-                del out
-                print(f"warm: {name} compiled ({time.time() - t0:.0f}s)",
-                      flush=True)
-            except Exception as e:                            # noqa: BLE001
-                print(f"warm: {name} failed ({e}); will compile lazily",
-                      flush=True)
-
-        it0 = jnp.asarray(float(first_iter + 1), jnp.float32)
-        sh0 = jnp.asarray(sh_degree, jnp.int32)
-        vi0 = jnp.asarray(0 if nb == 1 else np.zeros(nb, np.int32), jnp.int32)
         _warm("multistep (scan x33)",
               lambda s: multistep(s, packed_dev, gts_dev,
                                   jnp.zeros(K if nb == 1 else (K, nb),
@@ -460,6 +528,27 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                 # detects within a few iterations and rewinds to the older
                 # snapshot)
                 snaps.submit(state)
+            if (bad_iter is None and math.isfinite(m["loss"])
+                    and capctl.update(int(m.get("instances", 0)),
+                                      int(m["overflow"]))):
+                demand = int(m.get("instances", 0)) + int(m["overflow"])
+                print(f"[{stage} {iteration}] key_cap {key_cap} -> "
+                      f"{capctl.cap} (instance demand {demand}) — "
+                      "rebuilding step programs", flush=True)
+                key_cap = capctl.cap
+                multistep, step1 = _build_steps(key_cap)
+                gui_rf = None
+                # compile NOW (watchdog sees the warm prints + CPU heat)
+                # instead of lazily inside the next dispatch
+                _warm("multistep (recap)",
+                      lambda s: multistep(s, packed_dev, gts_dev,
+                                          jnp.zeros(K if nb == 1 else (K, nb),
+                                                    jnp.int32), it0, sh0))
+                _warm("step (recap)",
+                      lambda s: step1(s, packed_dev, gts_dev, vi0, it0, sh0))
+                _warm("frozen step (recap)",
+                      lambda s: step1(s, packed_dev, gts_dev, vi0, it0, sh0,
+                                      freeze_points=True))
 
         if iteration in test_iterations:
             timer.pause()
@@ -543,7 +632,10 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             snaps.submit(
                 state,
                 os.path.join(model_path, f"chkpnt_{stage}_{iteration}.npz"),
-                {"iteration": iteration})
+                # key_cap rides along so a watchdog restart can never
+                # shrink the instance budget below what the run had
+                # established (train_4DGS.py resume path)
+                {"iteration": iteration, "key_cap": key_cap})
 
     # the last checkpoint may still be draining to disk — finish it before
     # the stage returns (the next stage or process exit must see the file)

@@ -220,6 +220,63 @@ def test_radix_binning_matches_sort_binning(monkeypatch):
 
 
 @pytest.mark.parity
+def test_counting_binning_matches_sort_binning(monkeypatch):
+    """MOM_TPU_BIN_V2=1 (Pallas counting layout: per-block histograms +
+    within-block rank + direct scatter) must produce the same Binning as
+    the lax.sort path on every field that consumers read unmasked —
+    gid_sorted is compared on valid slots only (pad slots carry don't-care
+    values that every kernel gates by slot_valid / lane count)."""
+    from mom_tpu.ops.rasterize import bin_gaussians
+    for n, cap, seed in ((120, 4096, 3), (120, 512, 3), (120, 128, 7),
+                         (40, 1024, 11)):
+        cam, params = make_scene(n=n, width=48, height=32, seed=seed)
+        kwargs = _args(cam, params, bg=jnp.zeros(3))
+        pre = preprocess(
+            kwargs["means3d"], kwargs["scales"], kwargs["rotations"],
+            kwargs["opacities"], kwargs["shs"], kwargs["viewmatrix"],
+            kwargs["projmatrix"], kwargs["campos"], kwargs["tanfovx"],
+            kwargs["tanfovy"], 48, 32)
+        monkeypatch.delenv("MOM_TPU_BIN_V2", raising=False)
+        a = bin_gaussians(pre, 48, 32, key_cap=cap)
+        monkeypatch.setenv("MOM_TPU_BIN_V2", "1")
+        b = bin_gaussians(pre, 48, 32, key_cap=cap)
+        monkeypatch.delenv("MOM_TPU_BIN_V2", raising=False)
+        valid = np.asarray(a.slot_valid)
+        for name in a._fields:
+            av = np.asarray(getattr(a, name))
+            bv = np.asarray(getattr(b, name))
+            if name == "gid_sorted":
+                av, bv = av[valid], bv[valid]
+            np.testing.assert_array_equal(
+                av, bv, err_msg=f"{name} n={n} cap={cap}")
+
+
+@pytest.mark.parity
+def test_counting_binning_forward_and_grads_match(monkeypatch):
+    """End-to-end render under MOM_TPU_BIN_V2=1 matches the default path
+    bit-for-bit (same instances, same order), forward and gradients."""
+    cam, params = make_scene(n=120, width=48, height=32, seed=5)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    means, scales, q, opac, shs = params
+
+    def color_and_grad():
+        def loss(op):
+            kw = _args(cam, (means, scales, q, op, shs), bg=bg, key_cap=4096)
+            return jnp.sum(rasterize_tiled(**kw).color[:16] ** 2)
+        kw = _args(cam, params, bg=bg, key_cap=4096)
+        return (np.asarray(rasterize_tiled(**kw).color),
+                np.asarray(jax.grad(loss)(opac)))
+
+    monkeypatch.delenv("MOM_TPU_BIN_V2", raising=False)
+    c_ref, g_ref = color_and_grad()
+    monkeypatch.setenv("MOM_TPU_BIN_V2", "1")
+    c_v2, g_v2 = color_and_grad()
+    monkeypatch.delenv("MOM_TPU_BIN_V2", raising=False)
+    np.testing.assert_array_equal(c_v2, c_ref)
+    np.testing.assert_array_equal(g_v2, g_ref)
+
+
+@pytest.mark.parity
 def test_mxu_split_cumsum_parity(monkeypatch):
     """MOM_TPU_MXU_SPLIT=k runs the compositing transmittance cumsum as k
     bf16 MXU passes; k=3 must match the fp32 path to ~1e-5 (forward AND

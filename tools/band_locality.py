@@ -53,14 +53,41 @@ def main():
     key_cap = R.default_key_cap(n_pts, 4.0)
 
     def timeit(name, f, *a):
-        jf = jax.jit(f)
+        # one jitted lax.scan of ``reps`` iterations with a genuine serial
+        # dependency (an output-derived eps perturbs the next rep's input):
+        # the round-3 version dispatched reps async calls and blocked only
+        # on the last — the tunnel backend elided the unused executions and
+        # the full-frame path "measured" 0.35 ms for a 235 ms computation
+        # (advisor finding, runlogs/band_locality.out).  Same pattern as
+        # bench.py:_breakdown.
+        def _perturb(tree, eps):
+            leaves, treedef = jax.tree.flatten(tree)
+            for i, leaf in enumerate(leaves):
+                if (hasattr(leaf, "dtype")
+                        and jnp.issubdtype(leaf.dtype, jnp.floating)):
+                    leaves[i] = leaf * (1.0 + eps)
+                    break
+            return jax.tree.unflatten(treedef, leaves)
+
+        @jax.jit
+        def scanned(args0):
+            def body(eps, _):
+                r = f(*_perturb(args0, eps))
+                lf = [l for l in jax.tree.leaves(r) if hasattr(l, "dtype")]
+                nxt = (jnp.tanh(jnp.nan_to_num(
+                    jnp.sum(lf[0].astype(jnp.float32)))) * 1e-12
+                       if lf else jnp.asarray(0.0, jnp.float32))
+                return nxt, None
+            eps, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
+                                  None, length=reps)
+            return eps
+
         t0 = time.time()
-        out = jax.block_until_ready(jf(*a))
+        out = jax.block_until_ready(jax.jit(f)(*a))
+        jax.block_until_ready(scanned(a))
         print(f"{name}: compile+first {time.time() - t0:.1f}s", flush=True)
         t0 = time.time()
-        for _ in range(reps):
-            out = jf(*a)
-        jax.block_until_ready(out)
+        jax.block_until_ready(scanned(a))
         ms = (time.time() - t0) / reps * 1e3
         print(f"{name}: {ms:.2f} ms", flush=True)
         return out, ms

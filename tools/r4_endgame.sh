@@ -1,0 +1,117 @@
+#!/bin/bash
+# Round-4 end sequence: stop the training tree cleanly, bank final state,
+# free the tunnel, then run the prioritized measurement window — banking
+# results to git after every step so a tunnel flake or VM reset mid-sequence
+# loses only the remaining steps.  Timeouts are tighter than round 3's: the
+# window this round is ~30-40 min, so the steps are ordered by deliverable
+# value (eval+exports first, perf A/Bs last).
+#
+# Usage: bash tools/r4_endgame.sh [quiet_seconds]
+set -u
+cd "$(dirname "$0")/.."
+SCENE=demo/scene_0
+QUIET=${1:-300}
+OUT=/tmp/tpu_window
+mkdir -p "$OUT" runlogs "$SCENE/rescue"
+log() { echo "[endgame $(date -u +%H:%M:%S)] $*" | tee -a /tmp/endgame.log; }
+
+kill_tree() {  # kill a PID and all its descendants, bottom-up, by PID only
+    local pid=$1
+    [ -d "/proc/$pid" ] || return 0
+    for child in $(ps -o pid= --ppid "$pid" 2>/dev/null); do
+        kill_tree "$child"
+    done
+    kill -TERM "$pid" 2>/dev/null
+    sleep 2
+    kill -KILL "$pid" 2>/dev/null
+}
+
+# 1. stop the committer loop first (so it cannot race our commits), then
+#    the orchestrator -> watchdog -> train_4DGS tree
+for pf in /tmp/r4_committer.pid /tmp/r4_orch.pid; do
+    if [ -f "$pf" ]; then
+        log "killing tree rooted at $(cat "$pf") ($pf)"
+        kill_tree "$(cat "$pf")"
+    fi
+done
+
+# 2. final bank: newest checkpoint + logs
+for f in /tmp/r4_orch.log /tmp/stage1.log /tmp/full_r4.log /tmp/endgame.log \
+         /tmp/r4_chain.out; do
+    [ -f "$f" ] && cp "$f" runlogs/
+done
+best=$(python -c "
+import sys; sys.path.insert(0,'tools')
+from train_watchdog import newest_checkpoint
+print(newest_checkpoint('$SCENE') or '')")
+if [ -n "$best" ]; then
+    log "banking final checkpoint $best"
+    rm -f "$SCENE"/rescue/chkpnt_*.npz.gz
+    gzip -1 -n -c "$best" > "$SCENE/rescue/$(basename "$best").gz"
+fi
+for p in runlogs "$SCENE/rescue" "$SCENE/metrics.jsonl" "$SCENE/cfg_args"; do
+    [ -e "$p" ] && git add -f -A "$p" 2>/dev/null
+done
+git commit -q -m "Bank final run state before measurement window
+
+No-Verification-Needed: run artifacts and logs only" || true
+
+# 3. tunnel quiet period (a killed client leaves the stream wedged ~10 min;
+#    a cleanly-exited one needs much less)
+log "quiet ${QUIET}s before re-attaching"
+sleep "$QUIET"
+
+run() {  # run <name> <timeout_s> <env...> -- <cmd...>
+    local name=$1 tmo=$2; shift 2
+    local envs=()
+    while [ "$1" != "--" ]; do envs+=("$1"); shift; done
+    shift
+    log "step $name (timeout ${tmo}s)"
+    env "${envs[@]}" timeout "$tmo" "$@" >"$OUT/$name.out" 2>"$OUT/$name.err"
+    log "step $name rc=$?"
+    cp "$OUT/$name.out" "$OUT/$name.err" runlogs/ 2>/dev/null
+    git add -f runlogs 2>/dev/null
+    git commit -q -m "Bank measurement: $name
+
+No-Verification-Needed: run artifacts and logs only" || true
+}
+
+# 4. offline eval of the newest healthy checkpoint on all 25 test views,
+#    now incl. LPIPS (VERDICT next #9); ckpt_select refuses reset-boundary
+#    checkpoints (VERDICT next #2)
+run eval_final 1200 NONE=1 -- python tools/eval_from_checkpoint.py \
+    --input_dir $SCENE --json /tmp/tpu_window/eval_final.json
+cp /tmp/tpu_window/eval_final.json runlogs/ 2>/dev/null
+
+# 5. export reference-layout artifacts + stage-3 renders from the newest
+#    healthy checkpoint (VERDICT #1 artifacts + #6 render FPS on the
+#    trained/pruned model, render_sets' reference-semantics timing)
+run export_render 1800 NONE=1 -- python tools/export_from_checkpoint.py \
+    --input_dir $SCENE --render --expname full_r4
+for p in "$SCENE/point_cloud" "$SCENE/frame_result" "$SCENE/vid_result"; do
+    [ -e "$p" ] && git add -f -A "$p" 2>/dev/null
+done
+git commit -q -m "Bank stage-3 exports
+
+No-Verification-Needed: run artifacts and logs only" || true
+
+# 6. driver-scale bench rehearsal (refreshes BENCH_BANK at default scale,
+#    now with the measured-oracle vs_baseline provenance)
+run bench_512_262k 1500 MOM_TPU_BENCH_BUDGET=1400 -- python bench.py
+cp BENCH_BANK.json runlogs/ 2>/dev/null
+git add -f BENCH_BANK.json runlogs 2>/dev/null
+git commit -q -m "Bank bench result
+
+No-Verification-Needed: run artifacts and logs only" || true
+
+# 7. counting-layout binning A/B at driver scale (the round-4 BIN_V2 path:
+#    O(K) histogram+scatter vs the lax.sort network)
+run bench_512_binv2 1200 MOM_TPU_BENCH_BUDGET=1100 MOM_TPU_BIN_V2=1 \
+    -- python bench.py
+
+# 8. band-locality re-measure with the serial-dependency scan (the round-3
+#    banked numbers were elision artifacts — advisor finding)
+run band_locality 1200 NONE=1 -- python tools/band_locality.py \
+    262144 1280x720 4 8
+
+log "endgame complete"

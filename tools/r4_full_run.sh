@@ -59,15 +59,30 @@ if [ ! -d demo/scene_0/point_cloud/iteration_20000 ]; then
     run_stage1 demo/scene_0 /tmp/stage1.log || {
         echo "[orch] scene_0 stage1 FAILED, aborting" >> "$LOG"; exit 1; }
     echo "[orch] scene_0 stage2 start $(date -u)" >> "$LOG"
+    # key_cap_mult 7: the post-prune regime (143k alive) runs at ~6 tiles
+    # per gaussian of real demand; mult 4 under-budgets it on a restart
+    # (the _KeyCapController would fix it, at the cost of a recompile +
+    # 200 degraded iterations — start right instead)
     python tools/train_watchdog.py --input_dir demo/scene_0 \
         --expname full_r4 --log /tmp/full_r4.log \
-        -- --test_iterations 3000 7000 14000 20000 >> "$LOG" 2>&1
+        -- --key_cap_mult 7 \
+           --save_iterations 14000 18000 \
+           --test_iterations 3000 7000 14000 20000 >> "$LOG" 2>&1
     echo "[orch] scene_0 stage2 watchdog exited rc=$? $(date -u)" >> "$LOG"
 else
     echo "[orch] scene_0 already complete" >> "$LOG"
 fi
 
 # ---------- scenes 1 & 2: reduced schedule ----------
+if [ -f /tmp/r4_skip_s12 ]; then
+    # endgame window reserved: with <1h of round left after scene_0, the
+    # export/eval/bench endgame outranks a scene_1 stage-1 attempt that
+    # cannot finish (stage 1 alone is ~1h) and would hold the single-client
+    # tunnel into the driver's own bench run
+    echo "[orch] scenes 1/2 skipped (/tmp/r4_skip_s12)" >> "$LOG"
+    touch /tmp/r4_runs_done
+    exit 0
+fi
 for n in 1 2; do
     S=demo/scene_$n
     restore_scene "$S"

@@ -161,6 +161,15 @@ def main(argv=None):
     from mom_tpu.ops.rasterize import CHUNK
     n0 = int(state.gauss.num_alive)
     key_cap = ((int(n0 * args.key_cap_mult) + CHUNK - 1) // CHUNK) * CHUNK
+    if start_ckpt and int(extra.get("key_cap", 0)) > key_cap:
+        # A restart must never shrink the instance budget below what the
+        # run had established: resuming right after the fine-8000 prune
+        # recomputed alive*4 = 573k against ~1.2M of real demand, 50-87%
+        # of instances were depth-dropped, and PSNR fell 43 -> 19 for the
+        # rest of the run (runlogs/full_r4.log launch 1).  The in-loop
+        # _KeyCapController can shrink it back gradually if oversized.
+        key_cap = int(extra["key_cap"])
+        print(f"resume: restoring checkpoint key_cap {key_cap}", flush=True)
 
     common = dict(
         key_cap=key_cap,
