@@ -187,7 +187,11 @@ def test_full_config_family_loads():
     from argparse import ArgumentParser
     root = os.path.join(os.path.dirname(__file__), "..", "arguments")
     files = sorted(glob.glob(os.path.join(root, "*", "*.py")))
-    assert len(files) == 27, files
+    # repo-local additions (reduced schedules etc.) still must load/merge,
+    # but the reference-parity family count is pinned without them
+    ref_family = [f for f in files
+                  if os.path.basename(f) != "r4_reduced.py"]
+    assert len(ref_family) == 27, ref_family
     for path in files:
         parser = ArgumentParser()
         config.add_group_args(parser, config.OptimizationParams)
