@@ -80,7 +80,7 @@ No-Verification-Needed: run artifacts and logs only" || true
 #    now incl. LPIPS (VERDICT next #9); ckpt_select refuses reset-boundary
 #    checkpoints (VERDICT next #2)
 run eval_final 1200 NONE=1 -- python tools/eval_from_checkpoint.py \
-    --input_dir $SCENE --json /tmp/tpu_window/eval_final.json
+    --input_dir $SCENE --lpips --json /tmp/tpu_window/eval_final.json
 cp /tmp/tpu_window/eval_final.json runlogs/ 2>/dev/null
 
 # 5. export reference-layout artifacts + stage-3 renders from the newest
