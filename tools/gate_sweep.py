@@ -30,9 +30,67 @@ COMBOS = [
     ("all_chunk256", {"MOM_TPU_TIME_MM": "1", "MOM_TPU_BLOCK_CUMSUM": "1",
                       "MOM_TPU_SEG_RADIX": "1", "MOM_TPU_BIN_RADIX": "1",
                       "MOM_TPU_CHUNK": "256"}),
+    ("binv2", {"MOM_TPU_BIN_V2": "1"}),
+    ("bwd_all_binv2", {"MOM_TPU_TIME_MM": "1", "MOM_TPU_BLOCK_CUMSUM": "1",
+                       "MOM_TPU_SEG_RADIX": "1", "MOM_TPU_BIN_V2": "1"}),
 ]
 
 GATE_KEYS = sorted({k for _, env in COMBOS for k in env})
+
+
+def run_subproc(n_pts, res, iters, out_path, per_combo_timeout, quiet_s):
+    """Parent mode (--subproc): each combo runs in its OWN child process
+    and fresh device attach, so one OOM cannot poison the rest — the
+    round-3 one-attach sweep lost all 7 combos to the first
+    RESOURCE_EXHAUSTED (launched seconds after a bench exit with chip
+    memory still held).  The child also imports rasterize with the combo's
+    MOM_TPU_CHUNK, fixing the import-time-CHUNK skip."""
+    import subprocess
+    import time as T
+
+    results = {"n_pts": n_pts, "resolution": res, "iters": iters,
+               "mode": "subprocess-isolated", "combos": {}}
+    only = os.environ.get("MOM_TPU_SWEEP_ONLY")
+    combos = [c for c in COMBOS if not only or c[0] in only.split(",")]
+    for i, (name, env) in enumerate(combos):
+        child_out = f"{out_path}.{name}.part"
+        child_env = dict(os.environ)
+        for k in GATE_KEYS:
+            child_env.pop(k, None)
+        child_env.update(env)
+        child_env["MOM_TPU_SWEEP_ONLY"] = name
+        cmd = [sys.executable, os.path.abspath(__file__), str(n_pts), res,
+               str(iters), "--out", child_out]
+        print(f"[sweep-parent] combo {name} -> child", file=sys.stderr,
+              flush=True)
+        try:
+            rc = subprocess.run(cmd, env=child_env,
+                                timeout=per_combo_timeout).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        rec = {"error": f"child rc={rc}"}
+        try:
+            with open(child_out) as f:
+                rec = json.load(f)["combos"].get(name, rec)
+        except Exception:                                   # noqa: BLE001
+            pass
+        results["combos"][name] = rec
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"[sweep-parent] combo {name}: {rec}", file=sys.stderr,
+              flush=True)
+        if i + 1 < len(combos):
+            T.sleep(quiet_s)   # let the chip/tunnel drain between attaches
+
+    base = results["combos"].get("baseline", {}).get("iters_per_sec")
+    if base:
+        for rec in results["combos"].values():
+            if rec.get("iters_per_sec"):
+                rec["speedup_vs_baseline"] = round(
+                    rec["iters_per_sec"] / base, 3)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+    print(json.dumps(results))
 
 
 def main():
@@ -43,6 +101,10 @@ def main():
     n_pts = int(args[0]) if len(args) > 0 else 921_600
     res = args[1] if len(args) > 1 else "1280x720"
     iters = int(args[2]) if len(args) > 2 else 8
+    if "--subproc" in sys.argv:
+        tmo = int(os.environ.get("MOM_TPU_SWEEP_COMBO_TIMEOUT", "900"))
+        quiet = int(os.environ.get("MOM_TPU_SWEEP_QUIET", "60"))
+        return run_subproc(n_pts, res, iters, out_path, tmo, quiet)
     W, H = [int(v) for v in res.split("x")]
 
     def log(m):
