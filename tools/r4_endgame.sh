@@ -89,14 +89,14 @@ No-Verification-Needed: run artifacts and logs only" || true
 # 4. offline eval of the newest healthy checkpoint on all 25 test views,
 #    now incl. LPIPS (VERDICT next #9); ckpt_select refuses reset-boundary
 #    checkpoints (VERDICT next #2)
-run eval_final 600 NONE=1 -- python tools/eval_from_checkpoint.py \
+run eval_final 420 NONE=1 -- python tools/eval_from_checkpoint.py \
     --input_dir $SCENE --lpips --json /tmp/tpu_window/eval_final.json
 cp /tmp/tpu_window/eval_final.json runlogs/ 2>/dev/null
 
 # 5. export reference-layout artifacts + stage-3 renders from the newest
 #    healthy checkpoint (VERDICT #1 artifacts + #6 render FPS on the
 #    trained/pruned model, render_sets' reference-semantics timing)
-run export_render 900 NONE=1 -- python tools/export_from_checkpoint.py \
+run export_render 600 NONE=1 -- python tools/export_from_checkpoint.py \
     --input_dir $SCENE --render --expname full_r4
 for p in "$SCENE/point_cloud" "$SCENE/frame_result" "$SCENE/vid_result"; do
     [ -e "$p" ] && git add -f -A "$p" 2>/dev/null
@@ -105,23 +105,23 @@ git commit -q -m "Bank stage-3 exports
 
 No-Verification-Needed: run artifacts and logs only" || true
 
+# 7. counting-layout binning A/B at driver scale (the round-4 BIN_V2 path:
+#    O(K) histogram+scatter vs the lax.sort network)
+run bench_512_binv2 700 MOM_TPU_BENCH_BUDGET=620 MOM_TPU_BIN_V2=1 \
+    -- python bench.py
+
 # 6. driver-scale bench rehearsal (refreshes BENCH_BANK at default scale,
 #    now with the measured-oracle vs_baseline provenance)
-run bench_512_262k 800 MOM_TPU_BENCH_BUDGET=720 -- python bench.py
+run bench_512_262k 700 MOM_TPU_BENCH_BUDGET=620 -- python bench.py
 cp BENCH_BANK.json runlogs/ 2>/dev/null
 git add -f BENCH_BANK.json runlogs 2>/dev/null
 git commit -q -m "Bank bench result
 
 No-Verification-Needed: run artifacts and logs only" || true
 
-# 7. counting-layout binning A/B at driver scale (the round-4 BIN_V2 path:
-#    O(K) histogram+scatter vs the lax.sort network)
-run bench_512_binv2 800 MOM_TPU_BENCH_BUDGET=720 MOM_TPU_BIN_V2=1 \
-    -- python bench.py
-
 # 8. band-locality re-measure with the serial-dependency scan (the round-3
 #    banked numbers were elision artifacts — advisor finding)
-run band_locality 600 NONE=1 -- python tools/band_locality.py \
+run band_locality 500 NONE=1 -- python tools/band_locality.py \
     262144 1280x720 4 8
 
 log "endgame complete"
