@@ -8,6 +8,10 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/r4_orch.log
+# a STALE done-flag from an earlier aborted run must never survive a
+# relaunch: round 4's endgame trigger fired off one and killed a healthy
+# run at fine 10700
+rm -f /tmp/r4_runs_done
 echo "[orch] start $(date -u)" >> "$LOG"
 
 probe() {
