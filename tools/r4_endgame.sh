@@ -90,14 +90,14 @@ No-Verification-Needed: run artifacts and logs only" || true
 #    now incl. LPIPS (VERDICT next #9); ckpt_select refuses reset-boundary
 #    checkpoints (VERDICT next #2)
 run eval_final 420 NONE=1 -- python tools/eval_from_checkpoint.py \
-    --input_dir $SCENE --lpips --json /tmp/tpu_window/eval_final.json
+    --input_dir $SCENE --lpips --key_cap_mult 12 --json /tmp/tpu_window/eval_final.json
 cp /tmp/tpu_window/eval_final.json runlogs/ 2>/dev/null
 
 # 5. export reference-layout artifacts + stage-3 renders from the newest
 #    healthy checkpoint (VERDICT #1 artifacts + #6 render FPS on the
 #    trained/pruned model, render_sets' reference-semantics timing)
 run export_render 600 NONE=1 -- python tools/export_from_checkpoint.py \
-    --input_dir $SCENE --render --expname full_r4
+    --input_dir $SCENE --render --key_cap_mult 24 --expname full_r4
 for p in "$SCENE/point_cloud" "$SCENE/frame_result" "$SCENE/vid_result"; do
     [ -e "$p" ] && git add -f -A "$p" 2>/dev/null
 done
