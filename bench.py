@@ -166,6 +166,18 @@ def _flush_stale_bank(reason):
             f"previous successful run on this chip")
         _result["extra"]["stale"] = True
         _result["extra"]["banked_at"] = banked.get("banked_at")
+        # the bank may predate a measured oracle (round 3 banked the
+        # linear-in-P extrapolated ratio); the value is old but the
+        # baseline should be the best-known one at flush time
+        try:
+            ips, prov = _oracle_baseline(262_144, "512x512")
+            if prov.get("provenance") == "measured" and _result["value"]:
+                _result["vs_baseline"] = round(_result["value"] / ips, 1)
+                _result["extra"]["oracle_baseline"] = prov
+                _result["extra"]["vs_baseline_note"] = (
+                    "recomputed against the measured oracle at flush time")
+        except Exception:                                     # noqa: BLE001
+            pass
     except Exception as e:                                    # noqa: BLE001
         _result["extra"] = {"status": f"no_data: {reason}; no bank ({e})"}
     _result["extra"]["elapsed_s"] = round(time.time() - T0, 1)
