@@ -74,3 +74,31 @@ def test_interrupted_shrink_streak_resets():
     for _ in range(7):
         assert not c.update(instances=700_000, overflow=0)
     assert c.cap == 4_000_000
+
+
+def test_resolve_key_cap_resume_never_shrinks():
+    """train_4DGS.resolve_key_cap: a resume restores the checkpoint's
+    established instance budget when it exceeds the mult-derived cap, and
+    keeps the (larger) mult-derived cap otherwise (round-4 poisoning fix)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from train_4DGS import resolve_key_cap
+
+    # fresh run: CHUNK-aligned mult-derived cap
+    cap, restored = resolve_key_cap(143_243, 4.0, None)
+    assert cap == ((143_243 * 4 + 127) // 128) * 128 and not restored
+
+    # resume with a LARGER established budget: restore it (the poisoned-run
+    # scenario: alive*4 = 573k vs checkpoint key_cap 1.97M)
+    cap, restored = resolve_key_cap(143_243, 4.0,
+                                    {"key_cap": 1_969_152})
+    assert cap == 1_969_152 and restored
+
+    # resume with a smaller checkpoint budget: mult-derived wins
+    cap0, _ = resolve_key_cap(150_000, 7.0, None)
+    cap, restored = resolve_key_cap(150_000, 7.0, {"key_cap": 1024})
+    assert cap == cap0 and not restored
+
+    # missing extras key behaves like a fresh run
+    cap, restored = resolve_key_cap(1000, 4.0, {})
+    assert cap == 4096 and not restored

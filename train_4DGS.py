@@ -42,6 +42,25 @@ def _start_device_keepalive(period_s: float = 20.0):
                      name="device-keepalive").start()
 
 
+def resolve_key_cap(n_alive: int, mult: float, extra: dict | None):
+    """(key_cap, restored_from_checkpoint).
+
+    The CHUNK-aligned cap is ``n_alive * mult``, but a resume must never
+    shrink the instance budget below what the run had established in the
+    checkpoint's extras: a watchdog restart right after the fine-8000
+    prune recomputed alive*4 = 573k against ~1.2M of real demand, 50-87%
+    of instances were depth-dropped, and PSNR fell 43 -> 19 for the rest
+    of the run (runlogs/full_r4.log launch 1).  The in-loop
+    _KeyCapController can shrink an oversized cap back gradually.
+    """
+    from mom_tpu.ops.rasterize import CHUNK
+    key_cap = ((int(n_alive * mult) + CHUNK - 1) // CHUNK) * CHUNK
+    ckpt_cap = int((extra or {}).get("key_cap", 0))
+    if ckpt_cap > key_cap:
+        return ckpt_cap, True
+    return key_cap, False
+
+
 def main(argv=None):
     parser = ArgumentParser(description="Training script parameters")
     setup_seed(6666)
@@ -158,17 +177,10 @@ def main(argv=None):
                       f"{int(state.gauss.capacity)} "
                       f"({int(state.gauss.num_alive)} alive)", flush=True)
 
-    from mom_tpu.ops.rasterize import CHUNK
     n0 = int(state.gauss.num_alive)
-    key_cap = ((int(n0 * args.key_cap_mult) + CHUNK - 1) // CHUNK) * CHUNK
-    if start_ckpt and int(extra.get("key_cap", 0)) > key_cap:
-        # A restart must never shrink the instance budget below what the
-        # run had established: resuming right after the fine-8000 prune
-        # recomputed alive*4 = 573k against ~1.2M of real demand, 50-87%
-        # of instances were depth-dropped, and PSNR fell 43 -> 19 for the
-        # rest of the run (runlogs/full_r4.log launch 1).  The in-loop
-        # _KeyCapController can shrink it back gradually if oversized.
-        key_cap = int(extra["key_cap"])
+    key_cap, restored = resolve_key_cap(
+        n0, args.key_cap_mult, extra if start_ckpt else None)
+    if restored:
         print(f"resume: restoring checkpoint key_cap {key_cap}", flush=True)
 
     common = dict(
