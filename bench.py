@@ -10,11 +10,14 @@ single JSON line was printed):
   is best-effort and time-gated.
 - A SIGALRM watchdog prints whatever has been banked and exits before the
   driver budget can expire.
-- The pure-JAX oracle baseline is NOT re-measured (it is an O(P*pixels)
-  graph whose compile alone can starve the budget through the tunnel):
-  vs_baseline uses the recorded round-1 measurement — 0.234 it/s at 65,536
-  points on this chip (BENCH_r01.json / RESULTS.md round-1 table) — scaled
-  linearly in P (exact for the oracle's per-pixel-per-gaussian inner loop).
+- The pure-JAX oracle baseline is not re-measured in-run (it is an
+  O(P*pixels) graph whose compile alone can starve the budget through the
+  tunnel): vs_baseline prefers a MEASURED record banked by
+  tools/measure_oracle.py in ORACLE_BANK.json (exact n_points+resolution
+  match first, then a linear-in-P rescale of a same-resolution record),
+  falling back to the round-1 measurement — 0.234 it/s at 65,536 points
+  (BENCH_r01.json) — scaled linearly in P (exact for the oracle's
+  per-pixel-per-gaussian inner loop).
 - MFU: XLA cost-analysis FLOPs of the compiled step (sort/gather movement
   counts as 0, as it should) PLUS analytic FLOPs of the two Pallas
   compositing kernels (custom calls are invisible to cost analysis),
@@ -85,13 +88,19 @@ def _oracle_baseline(n_pts: int, res: str):
     try:
         with open(ORACLE_BANK_PATH) as f:
             bank = json.load(f)
-        for rec in bank if isinstance(bank, list) else [bank]:
+        recs = bank if isinstance(bank, list) else [bank]
+        # two passes: an exact (n_points, resolution) record anywhere in the
+        # bank wins outright (measure_oracle.py APPENDS new records, so a
+        # single pass would let an older same-resolution record shadow a
+        # later exact measurement — round-4 advisor finding)
+        for rec in recs:
             if rec.get("n_points") == n_pts and rec.get("resolution") == res:
                 prov = {"iters_per_sec": rec["iters_per_sec"],
                         "provenance": "measured",
                         "measured_at": rec.get("measured_at"),
                         "detail": rec.get("detail")}
                 return float(rec["iters_per_sec"]), prov
+        for rec in recs:
             # measured at another point count, same resolution: linear-in-P
             # rescale of a measurement at this resolution still beats the
             # round-1 65k anchor

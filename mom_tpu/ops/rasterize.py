@@ -292,6 +292,11 @@ def _bin_layout_counting(tile_id: jnp.ndarray, gid_f: jnp.ndarray,
     packed = jnp.stack([gid_f, slots], axis=1)             # (key_cap, 2)
     init = jnp.stack([jnp.zeros(pcap, jnp.int32),
                       jnp.full(pcap, key_cap, jnp.int32)], axis=1)
+    # pad instances all come out of _dest_kernel as dest == pcap; spread
+    # them to pcap + slot so the indices really are unique (mode="drop"
+    # discards them either way, but unique_indices=True on duplicated
+    # indices is documented UB — round-4 advisor finding)
+    dest = jnp.where(dest >= pcap, pcap + slots, dest)
     out = init.at[dest].set(packed, mode="drop", unique_indices=True)
     gid_padded, slot_origin = out[:, 0], out[:, 1]
     slot_valid = slot_origin < key_cap

@@ -529,6 +529,8 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
                 # snapshot)
                 snaps.submit(state)
             if (bad_iter is None and math.isfinite(m["loss"])
+                    and iteration != final_iter  # no steps left to run the
+                    # rebuilt programs — skip the minutes-long recompile
                     and capctl.update(int(m.get("instances", 0)),
                                       int(m["overflow"]))):
                 demand = int(m.get("instances", 0)) + int(m["overflow"])
@@ -561,14 +563,17 @@ def scene_reconstruction(state: TrainState, deform_cfg, scene: SceneData,
             # otherwise dominate eval wall-time)
             ev = make_eval_scan(deform_cfg, W, H, bg, stage=stage,
                                 backend=backend, key_cap=key_cap)
-            l1s, psnrs, ssims = ev(
+            l1s, psnrs, ssims, ovfs, insts, brights = ev(
                 state.gauss.params, state.gauss.aux, state.deform,
                 {k: jnp.asarray(v) for k, v in test_packed.items()},
                 jnp.asarray(test_gts))
             result = {"l1": float(jnp.mean(l1s)),
                       "psnr": float(jnp.mean(psnrs)),
                       "ssim": float(jnp.mean(ssims)),
-                      "n_views": len(test_cams)}
+                      "n_views": len(test_cams),
+                      "max_overflow": int(jnp.max(ovfs)),
+                      "max_instances": int(jnp.max(insts)),
+                      "mean_brightness": float(jnp.mean(brights) * 255.0)}
             if logger is not None:
                 training_report(logger, iteration, stage, {},
                                 eval_result=result)
@@ -667,13 +672,19 @@ def make_render_jit(state: TrainState, deform_cfg, W, H, bg, stage="fine",
 
 
 def make_render_scan(deform_cfg, W, H, bg, stage="fine", backend="tiled",
-                     key_cap=None):
+                     key_cap=None, with_stats=False):
     """CHUNK frames per dispatched program: a ``lax.scan`` over a packed
     camera batch returns the whole (K,H,W,3) uint8 stack in one execution.
     Stage-3 rendering then pays one host->device dispatch round-trip per
     chunk instead of per frame — the same cure as the scan-batched training
     loop (through a remote device tunnel the per-dispatch tax, not render
-    compute, bounds the delivered FPS)."""
+    compute, bounds the delivered FPS).
+
+    with_stats=True additionally returns per-frame (overflow, instances)
+    scalars — the round-4 postmortem's missing signal: key_cap overflow
+    silently drops the FARTHEST gaussians (ops/rasterize.py bin_gaussians),
+    so a saturated render loses its far field with rc=0 unless someone looks
+    at these counters."""
     @jax.jit
     def rs(params, aux, deform, packed_cams):
         def body(carry, cam):
@@ -682,7 +693,10 @@ def make_render_scan(deform_cfg, W, H, bg, stage="fine", backend="tiled",
                             active_sh_degree=3, delta_scale=1.0,
                             key_cap=key_cap, backend=backend)
             img = jnp.clip(out.color, 0.0, 1.0)
-            return carry, (img * 255.0 + 0.5).astype(jnp.uint8)
+            img8 = (img * 255.0 + 0.5).astype(jnp.uint8)
+            if with_stats:
+                return carry, (img8, out.overflow, out.instances)
+            return carry, img8
         _, frames = jax.lax.scan(body, 0, packed_cams)
         return frames
     return rs
@@ -692,7 +706,11 @@ def make_eval_scan(deform_cfg, W, H, bg, stage="fine", backend="tiled",
                    key_cap=None):
     """One dispatched program renders and scores (L1/PSNR/SSIM) every test
     view via lax.scan; returns per-view metric arrays (same per-view values
-    as train.report.evaluate, which remains the per-frame API)."""
+    as train.report.evaluate, which remains the per-frame API).
+
+    Also returns per-view (overflow, instances, mean_brightness) health
+    counters — eval numbers without them are unauditable (round-4 shipped
+    PSNR 13.1 from silently saturated renders)."""
     from .train import losses as L
 
     @jax.jit
@@ -706,7 +724,8 @@ def make_eval_scan(deform_cfg, W, H, bg, stage="fine", backend="tiled",
             img = jnp.clip(out.color, 0.0, 1.0)
             gt = jnp.clip(gt8.astype(jnp.float32) / 255.0, 0.0, 1.0)
             return carry, (L.l1_loss(img, gt), L.psnr(img, gt),
-                           L.ssim(img, gt))
+                           L.ssim(img, gt), out.overflow, out.instances,
+                           jnp.mean(img))
         _, ms = jax.lax.scan(body, 0, (packed_cams, gts_u8))
         return ms
     return ev
@@ -714,19 +733,26 @@ def make_eval_scan(deform_cfg, W, H, bg, stage="fine", backend="tiled",
 
 def render_trajectory(state: TrainState, deform_cfg, cams: list[Camera],
                       W, H, bg, backend="tiled", key_cap=None,
-                      rf=None, rs=None, chunk=30, stage="fine"):
+                      rf=None, rs=None, chunk=30, stage="fine",
+                      stats=None):
     """Renders a camera list; returns (frames uint8 list, fps).
 
     Default path: scan-batched (``make_render_scan``), ``chunk`` frames per
     dispatch.  Passing ``rf`` (a per-frame render fn) selects the legacy
     frame-at-a-time path instead (used by the GUI, which renders single
-    interactive frames)."""
+    interactive frames).
+
+    Passing a dict as ``stats`` selects a with_stats scan (the caller must
+    NOT also pass a stats-less ``rs``) and fills it with per-frame
+    "overflow" / "instances" int arrays plus "mean_brightness" — the health
+    counters stage-3 export gates on."""
     if rf is not None:
         return _render_trajectory_per_frame(state, cams, rf)
     chunk = max(1, min(chunk, len(cams)))
     if rs is None:
         rs = make_render_scan(deform_cfg, W, H, bg, stage=stage,
-                              backend=backend, key_cap=key_cap)
+                              backend=backend, key_cap=key_cap,
+                              with_stats=stats is not None)
     packed = pack_cameras(cams)
     n = len(cams)
     n_chunks = -(-n // chunk)
@@ -738,14 +764,22 @@ def render_trajectory(state: TrainState, deform_cfg, cams: list[Camera],
               for k, v in packed.items()} for j in range(n_chunks)]
     # warm-up on the first chunk (compile excluded from FPS, matching the
     # reference's warm (len-1)/(t2-t1) timing, render_4DGS.py:61-71)
-    rs(state.gauss.params, state.gauss.aux, state.deform,
-       parts[0]).block_until_ready()
+    jax.block_until_ready(rs(state.gauss.params, state.gauss.aux,
+                             state.deform, parts[0]))
     t1 = time.time()
     outs = [rs(state.gauss.params, state.gauss.aux, state.deform, p)
             for p in parts]
-    outs[-1].block_until_ready()   # in-order execution: all chunks done
+    jax.block_until_ready(outs[-1])   # in-order execution: all chunks done
     fps = (n_chunks * chunk) / max(time.time() - t1, 1e-9)
-    frames_arr = np.concatenate([np.asarray(o) for o in outs])[:n]
+    if stats is not None:
+        frames_arr = np.concatenate([np.asarray(o[0]) for o in outs])[:n]
+        stats["overflow"] = np.concatenate(
+            [np.asarray(o[1]) for o in outs])[:n]
+        stats["instances"] = np.concatenate(
+            [np.asarray(o[2]) for o in outs])[:n]
+        stats["mean_brightness"] = float(frames_arr.mean())
+    else:
+        frames_arr = np.concatenate([np.asarray(o) for o in outs])[:n]
     return list(frames_arr), fps
 
 
@@ -809,16 +843,26 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
     # frames, 4x less device->host traffic, and the dtype png_write_batch
     # expects
     rs = make_render_scan(deform_cfg, scene.width, scene.height, bg,
-                          backend=backend, key_cap=key_cap)
+                          backend=backend, key_cap=key_cap, with_stats=True)
     fps_all = {}
+    health_all = {}
     for name, cams in scene.video_cams.items():
         out_name = name_map[name]
         frame_dir = os.path.join(model_path, "frame_result", out_name)
         os.makedirs(frame_dir, exist_ok=True)
+        stats = {}
         frames, fps = render_trajectory(state, deform_cfg, cams, scene.width,
-                                        scene.height, bg, rs=rs)
+                                        scene.height, bg, rs=rs, stats=stats)
         print(f"FPS: {fps}")
         fps_all[out_name] = fps
+        # health counters (round-4 postmortem: overflow silently blacks out
+        # the far field with rc=0 — never ship a trajectory without these)
+        h = {"max_overflow": int(stats["overflow"].max()),
+             "frames_overflowed": int((stats["overflow"] > 0).sum()),
+             "max_instances": int(stats["instances"].max()),
+             "mean_brightness": stats["mean_brightness"]}
+        health_all[out_name] = h
+        print(f"HEALTH {out_name}: {h}")
         # threaded native PNG writer (replaces the reference's python
         # ThreadPool, render_4DGS.py:32-47); PIL fallback
         from . import native
@@ -831,4 +875,4 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
         vid_dir = os.path.join(model_path, "vid_result")
         os.makedirs(vid_dir, exist_ok=True)
         write_mp4(os.path.join(vid_dir, out_name + ".mp4"), cropped, fps=30)
-    return fps_all
+    return fps_all, health_all

@@ -78,8 +78,8 @@ def main(argv=None):
                        rng=jax.random.PRNGKey(0))
 
     bg = (1, 1, 1) if model_cfg.white_background else (0, 0, 0)
-    fps = pipeline.render_sets(gaussian_path, state, deform_cfg, scene,
-                               bg=bg, backend=args.backend)
+    fps, health = pipeline.render_sets(gaussian_path, state, deform_cfg,
+                                       scene, bg=bg, backend=args.backend)
     return fps
 
 

@@ -264,9 +264,9 @@ def test_eval_scan_matches_per_view_evaluate():
     ref = evaluate(er, cams, gts)
     ev = pipeline.make_eval_scan(dcfg, W, H, (0, 0, 0), stage="fine",
                                  backend="reference")
-    l1s, psnrs, ssims = ev(state.gauss.params, state.gauss.aux, state.deform,
-                           {k: jnp.asarray(v) for k, v in packed.items()},
-                           jnp.asarray(gts))
+    l1s, psnrs, ssims, _ovf, _inst, _bright = ev(
+        state.gauss.params, state.gauss.aux, state.deform,
+        {k: jnp.asarray(v) for k, v in packed.items()}, jnp.asarray(gts))
     np.testing.assert_allclose(float(jnp.mean(l1s)), ref["l1"], atol=1e-5)
     np.testing.assert_allclose(float(jnp.mean(psnrs)), ref["psnr"], atol=1e-3)
     np.testing.assert_allclose(float(jnp.mean(ssims)), ref["ssim"], atol=1e-4)

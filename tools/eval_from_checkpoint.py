@@ -41,14 +41,10 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ckpt_select import pick_checkpoint
+    from offline_common import load_offline_state
     ckpt_path = pick_checkpoint(args.input_dir, args.checkpoint,
                                 args.allow_reset_boundary)
     assert ckpt_path, "no checkpoint found"
-    m = re.match(r"chkpnt_(coarse|fine)_(\d+)\.npz",
-                 os.path.basename(ckpt_path))
-    stage, iteration = m.group(1), int(m.group(2))
-    print(f"evaluating {ckpt_path} (stage={stage}, iter={iteration})",
-          flush=True)
 
     # honor JAX_PLATFORMS=cpu: this machine's JAX force-registers an 'axon'
     # TPU platform that overrides the env var (tests/conftest.py note) — a
@@ -59,41 +55,13 @@ def main():
 
     import numpy as np
     import jax.numpy as jnp
-    from mom_tpu import config as C
-    from mom_tpu.data.scene import load_scene
-    from mom_tpu.data import checkpoints as ckpt_io
     from mom_tpu import pipeline
     from mom_tpu.ops.rasterize import CHUNK
 
-    opt_cfg = C.OptimizationParams()
-    hidden = C.ModelHiddenParams()
-    from argparse import Namespace
-    ns = Namespace(**{**vars(C.OptimizationParams()),
-                      **vars(C.ModelHiddenParams())})
-    cfg_args_path = os.path.join(args.input_dir, "cfg_args")
-    cfg_file = "./arguments/dnerf/hellwarrior.py"
-    if os.path.exists(cfg_args_path):
-        # the training run's own persisted config wins (reference
-        # get_combined_args semantics, arguments/__init__.py:154-174)
-        saved = vars(C.parse_namespace_repr(open(cfg_args_path).read()))
-        for k, v in saved.items():
-            if hasattr(ns, k) and v is not None:
-                setattr(ns, k, v)
-    elif os.path.exists(cfg_file):
-        ns = C.merge_hparams(ns, C.load_config_file(cfg_file))
-    for k in vars(opt_cfg):
-        setattr(opt_cfg, k, getattr(ns, k, getattr(opt_cfg, k)))
-    for k in vars(hidden):
-        setattr(hidden, k, getattr(ns, k, getattr(hidden, k)))
-
-    mom_dir = os.path.join(args.input_dir, "MOM")
-    scene = load_scene(os.path.join(mom_dir, "train_data.pth"),
-                       traj_dir="test_trajectory")
-    state, deform_cfg, capacity = pipeline.build_initial_state(
-        scene, hidden, opt_cfg, flow_scale=2.0)
-    host_state, extra = ckpt_io.load_train_state(ckpt_path, state)
-    ckpt_io.free_device_tree(state)
-    state = host_state
+    scene, state, deform_cfg, stage, iteration, extra = load_offline_state(
+        args.input_dir, ckpt_path)
+    print(f"evaluating {ckpt_path} (stage={stage}, iter={iteration})",
+          flush=True)
 
     W, H = scene.width, scene.height
     bg = np.zeros(3, np.float32)
@@ -105,14 +73,23 @@ def main():
     gts = pipeline._gt_stack(test_cams)
     ev = pipeline.make_eval_scan(deform_cfg, W, H, bg, stage=stage,
                                  key_cap=key_cap)
-    l1s, psnrs, ssims = ev(
+    l1s, psnrs, ssims, ovfs, insts, brights = ev(
         state.gauss.params, state.gauss.aux, state.deform,
         {k: jnp.asarray(v) for k, v in packed.items()}, jnp.asarray(gts))
     result = {"checkpoint": os.path.basename(ckpt_path),
               "stage": stage, "iteration": iteration,
               "n_views": len(test_cams), "alive_points": n0,
               "l1": float(jnp.mean(l1s)), "psnr": float(jnp.mean(psnrs)),
-              "ssim": float(jnp.mean(ssims))}
+              "ssim": float(jnp.mean(ssims)),
+              "per_view_psnr": [round(float(p), 2) for p in psnrs],
+              "max_overflow": int(jnp.max(ovfs)),
+              "max_instances": int(jnp.max(insts)),
+              "key_cap": key_cap,
+              "mean_brightness": float(jnp.mean(brights) * 255.0)}
+    # health gate (round-4 postmortem): refuse to bless saturated or
+    # black renders as an eval number
+    result["healthy"] = bool(result["max_overflow"] == 0
+                             and result["mean_brightness"] > 8.0)
 
     if args.lpips:
         # LPIPS over the rendered test views (reference wires lpips into

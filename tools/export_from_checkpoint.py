@@ -16,6 +16,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -37,43 +38,21 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ckpt_select import pick_checkpoint
+    from offline_common import load_offline_state
     ckpt_path = pick_checkpoint(args.input_dir, args.checkpoint,
                                 args.allow_reset_boundary)
     assert ckpt_path, "no checkpoint found"
-    import re
-    m = re.match(r"chkpnt_(coarse|fine)_(\d+)\.npz",
-                 os.path.basename(ckpt_path))
-    stage, iteration = m.group(1), int(m.group(2))
-    print(f"exporting from {ckpt_path} (stage={stage}, iter={iteration})")
 
-    import numpy as np
     import jax
-    from mom_tpu import config as C
-    from mom_tpu.data.scene import load_scene
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
     from mom_tpu.data import checkpoints as ckpt_io
     from mom_tpu import pipeline
 
-    opt_cfg = C.OptimizationParams()
-    hidden = C.ModelHiddenParams()
-    cfg_file = "./arguments/dnerf/hellwarrior.py"
-    if os.path.exists(cfg_file):
-        from argparse import Namespace
-        ns = Namespace(**{**vars(C.OptimizationParams()),
-                          **vars(C.ModelHiddenParams())})
-        ns = C.merge_hparams(ns, C.load_config_file(cfg_file))
-        for k in vars(opt_cfg):
-            setattr(opt_cfg, k, getattr(ns, k, getattr(opt_cfg, k)))
-        for k in vars(hidden):
-            setattr(hidden, k, getattr(ns, k, getattr(hidden, k)))
-
-    mom_dir = os.path.join(args.input_dir, "MOM")
-    scene = load_scene(os.path.join(mom_dir, "train_data.pth"),
-                       traj_dir="test_trajectory")
-    state, deform_cfg, capacity = pipeline.build_initial_state(
-        scene, hidden, opt_cfg, flow_scale=2.0)
-    host_state, extra = ckpt_io.load_train_state(ckpt_path, state)
-    ckpt_io.free_device_tree(state)
-    state = host_state
+    scene, state, deform_cfg, stage, iteration, extra = load_offline_state(
+        args.input_dir, ckpt_path)
+    print(f"exporting from {ckpt_path} (stage={stage}, iter={iteration})")
 
     out_dir = os.path.join(args.input_dir, "point_cloud",
                            f"iteration_{iteration}")
@@ -86,9 +65,16 @@ def main():
         n0 = int(np.asarray(state.gauss.aux.alive).sum())
         key_cap = ((int(n0 * args.key_cap_mult) + CHUNK - 1)
                    // CHUNK) * CHUNK
-        fps = pipeline.render_sets(args.input_dir, state, deform_cfg, scene,
-                                   key_cap=key_cap)
+        fps, health = pipeline.render_sets(args.input_dir, state, deform_cfg,
+                                           scene, key_cap=key_cap)
         print("FPS per trajectory:", fps)
+        print("HEALTH per trajectory:", json.dumps(health))
+        bad = {k: h for k, h in health.items()
+               if h["frames_overflowed"] > 0 or h["mean_brightness"] < 8.0}
+        if bad:
+            # rc!=0 so orchestration scripts refuse to commit these frames
+            print("EXPORT HEALTH GATE FAILED:", json.dumps(bad))
+            sys.exit(1)
 
 
 if __name__ == "__main__":

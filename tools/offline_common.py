@@ -1,0 +1,70 @@
+"""Shared offline checkpoint-loading for the tools/ CLIs.
+
+eval_from_checkpoint, export_from_checkpoint and render_probe all need the
+same sequence: resolve the training run's persisted config (cfg_args wins,
+reference get_combined_args semantics, arguments/__init__.py:154-174),
+rebuild the scene + template state, and load the checkpoint into it.
+Round 4 shipped an export tool that skipped the cfg_args step — a silent
+config divergence class this module closes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from argparse import Namespace
+
+
+def resolve_configs(input_dir: str,
+                    fallback_cfg: str = "./arguments/dnerf/hellwarrior.py"):
+    """Returns (opt_cfg, hidden) with the run's cfg_args applied on top of
+    defaults; falls back to `fallback_cfg` when no cfg_args was persisted."""
+    from mom_tpu import config as C
+    opt_cfg = C.OptimizationParams()
+    hidden = C.ModelHiddenParams()
+    ns = Namespace(**{**vars(C.OptimizationParams()),
+                      **vars(C.ModelHiddenParams())})
+    cfg_args_path = os.path.join(input_dir, "cfg_args")
+    if os.path.exists(cfg_args_path):
+        saved = vars(C.parse_namespace_repr(open(cfg_args_path).read()))
+        for k, v in saved.items():
+            if hasattr(ns, k) and v is not None:
+                setattr(ns, k, v)
+    elif os.path.exists(fallback_cfg):
+        ns = C.merge_hparams(ns, C.load_config_file(fallback_cfg))
+    for k in vars(opt_cfg):
+        setattr(opt_cfg, k, getattr(ns, k, getattr(opt_cfg, k)))
+    for k in vars(hidden):
+        setattr(hidden, k, getattr(ns, k, getattr(hidden, k)))
+    return opt_cfg, hidden
+
+
+def load_offline_state(input_dir: str, ckpt_path: str,
+                       flow_scale: float = 2.0):
+    """Rebuild scene + template state and load `ckpt_path` into it.
+
+    Returns (scene, state, deform_cfg, stage, iteration, extra)."""
+    from mom_tpu.data.scene import load_scene
+    from mom_tpu.data import checkpoints as ckpt_io
+    from mom_tpu import pipeline
+
+    m = re.match(r"chkpnt_(coarse|fine)_(\d+)\.npz",
+                 os.path.basename(ckpt_path))
+    assert m, f"unrecognized checkpoint name: {ckpt_path}"
+    stage, iteration = m.group(1), int(m.group(2))
+
+    opt_cfg, hidden = resolve_configs(input_dir)
+    # the run's persisted flow_scale wins over the caller's default
+    cfg_args_path = os.path.join(input_dir, "cfg_args")
+    if os.path.exists(cfg_args_path):
+        from mom_tpu import config as C
+        saved = vars(C.parse_namespace_repr(open(cfg_args_path).read()))
+        flow_scale = float(saved.get("flow_scale", flow_scale) or flow_scale)
+
+    scene = load_scene(os.path.join(input_dir, "MOM", "train_data.pth"),
+                       traj_dir="test_trajectory")
+    state, deform_cfg, _ = pipeline.build_initial_state(
+        scene, hidden, opt_cfg, flow_scale=flow_scale)
+    host_state, extra = ckpt_io.load_train_state(ckpt_path, state)
+    ckpt_io.free_device_tree(state)
+    return scene, host_state, deform_cfg, stage, iteration, extra
