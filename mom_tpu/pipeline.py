@@ -812,6 +812,58 @@ def _render_trajectory_per_frame(state, cams, rf):
     return frames, fps
 
 
+def make_demand_scan(deform_cfg, W, H, stage="fine"):
+    """One dispatched program returns per-frame exact instance demand for a
+    packed camera batch (render.instance_demand scanned over frames).  No
+    sort, no compositing — deform + preprocess only, so it is cheap to run
+    over every frame of every trajectory before any render program is
+    compiled."""
+    from .render import instance_demand
+
+    @jax.jit
+    def ds(params, aux, deform, packed_cams):
+        def body(carry, cam):
+            return carry, instance_demand(params, aux, deform, deform_cfg,
+                                          cam, W, H, stage=stage,
+                                          active_sh_degree=3,
+                                          delta_scale=1.0)
+        _, d = jax.lax.scan(body, 0, packed_cams)
+        return d
+    return ds
+
+
+def size_key_cap(max_demand: int, margin: float = 1.15,
+                 bucket: float = 1.3) -> int:
+    """Round (demand * margin) UP to a coarse geometric bucket of CHUNK
+    multiples, so trajectories with similar demand land on the same cap and
+    share one compiled render program (each distinct cap is a distinct
+    program shape — a multi-minute compile through the device tunnel)."""
+    from .ops.rasterize import CHUNK
+    need = max(int(max_demand * margin), CHUNK)
+    cap = CHUNK
+    while cap < need:
+        cap = int(cap * bucket)
+    return ((cap + CHUNK - 1) // CHUNK) * CHUNK
+
+
+def trajectory_key_caps(state: TrainState, deform_cfg, scene: SceneData,
+                        stage="fine", margin: float = 1.15):
+    """Exact per-trajectory key_caps: {traj_name: (key_cap, max_demand)}.
+
+    Replaces the blanket alive*mult guess (round-4: mult too small silently
+    dropped the far field on out-of-distribution trajectory cameras; large
+    enough for the worst trajectory made every other trajectory pay its
+    compositing grid)."""
+    ds = make_demand_scan(deform_cfg, scene.width, scene.height, stage=stage)
+    out = {}
+    for name, cams in scene.video_cams.items():
+        packed = {k: jnp.asarray(v) for k, v in pack_cameras(cams).items()}
+        d = np.asarray(ds(state.gauss.params, state.gauss.aux, state.deform,
+                          packed))
+        out[name] = (size_key_cap(int(d.max()), margin), int(d.max()))
+    return out
+
+
 def render_training_videos(model_path, iteration, state, deform_cfg, scene,
                            stage, bg, backend, key_cap, crop=32):
     """render_video during training (train_4DGS.py:335-352)."""
@@ -839,11 +891,26 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
     from .utils.videoio import write_mp4
     name_map = {"up-down": "up_down", "side": "side", "zoom-in": "zoom",
                 "circle": "circle"}
+    # per-trajectory demand-sized key_caps (one cheap demand scan per
+    # trajectory, then one render program per distinct cap bucket) unless
+    # the caller pinned a cap explicitly
+    caps = {}
+    if key_cap is None and backend == "tiled":
+        caps = trajectory_key_caps(state, deform_cfg, scene)
+        print("trajectory key_caps:",
+              {name_map[k]: v for k, v in caps.items()}, flush=True)
     # scan-batched + device-side uint8 quantization: one dispatch per 30
     # frames, 4x less device->host traffic, and the dtype png_write_batch
-    # expects
-    rs = make_render_scan(deform_cfg, scene.width, scene.height, bg,
-                          backend=backend, key_cap=key_cap, with_stats=True)
+    # expects.  Program cache: one make_render_scan per distinct cap.
+    rs_cache = {}
+
+    def rs_for(cap):
+        if cap not in rs_cache:
+            rs_cache[cap] = make_render_scan(
+                deform_cfg, scene.width, scene.height, bg, backend=backend,
+                key_cap=cap, with_stats=True)
+        return rs_cache[cap]
+
     fps_all = {}
     health_all = {}
     for name, cams in scene.video_cams.items():
@@ -851,8 +918,10 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
         frame_dir = os.path.join(model_path, "frame_result", out_name)
         os.makedirs(frame_dir, exist_ok=True)
         stats = {}
+        cap = caps.get(name, (key_cap, None))[0]
         frames, fps = render_trajectory(state, deform_cfg, cams, scene.width,
-                                        scene.height, bg, rs=rs, stats=stats)
+                                        scene.height, bg, rs=rs_for(cap),
+                                        stats=stats)
         print(f"FPS: {fps}")
         fps_all[out_name] = fps
         # health counters (round-4 postmortem: overflow silently blacks out
@@ -860,6 +929,7 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
         h = {"max_overflow": int(stats["overflow"].max()),
              "frames_overflowed": int((stats["overflow"] > 0).sum()),
              "max_instances": int(stats["instances"].max()),
+             "key_cap": cap,
              "mean_brightness": stats["mean_brightness"]}
         health_all[out_name] = h
         print(f"HEALTH {out_name}: {h}")

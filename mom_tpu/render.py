@@ -31,16 +31,12 @@ class RenderResult(NamedTuple):
     instances: jnp.ndarray = None  # surviving duplicate-key instances (0 oracle)
 
 
-def render(params: G.GaussianParams, aux: G.GaussianAux,
-           deform_params: dict | None, deform_cfg: D.DeformConfig | None,
-           cam: dict, width: int, height: int, bg,
-           stage: str = "fine", active_sh_degree=3,
-           delta_scale: float = 1.0, scaling_modifier: float = 1.0,
-           means2d_offset: jnp.ndarray | None = None,
-           key_cap: int | None = None,
-           backend: str = "tiled") -> RenderResult:
-    """cam: packed camera dict (mom_tpu/cameras.py pack()): viewmatrix,
-    projmatrix, campos, tanfovx, tanfovy, time, frame_num."""
+def _prepare(params: G.GaussianParams, aux: G.GaussianAux,
+             deform_params, deform_cfg, cam: dict, width: int, height: int,
+             bg, stage: str, active_sh_degree, delta_scale: float,
+             scaling_modifier: float, means2d_offset) -> dict:
+    """Deform-then-activate prefix shared by render() and
+    instance_demand(): returns the rasterizer kwargs dict."""
     means3d = params.xyz
     opacity_raw = params.opacity
     shs = G.get_features(params)
@@ -66,7 +62,7 @@ def render(params: G.GaussianParams, aux: G.GaussianAux,
         jnp.linalg.norm(rot_f, axis=-1, keepdims=True), 1e-12)
     opac_act = jax.nn.sigmoid(opac_f)
 
-    common = dict(
+    return dict(
         means3d=means_f, scales=scales_act, rotations=rot_act,
         opacities=opac_act[:, 0], shs=shs_f,
         viewmatrix=cam["viewmatrix"], projmatrix=cam["projmatrix"],
@@ -75,6 +71,55 @@ def render(params: G.GaussianParams, aux: G.GaussianAux,
         active_sh_degree=active_sh_degree,
         means2d_offset=means2d_offset, alive_mask=aux.alive,
     )
+
+
+def instance_demand(params: G.GaussianParams, aux: G.GaussianAux,
+                    deform_params, deform_cfg, cam: dict,
+                    width: int, height: int,
+                    stage: str = "fine", active_sh_degree=3,
+                    delta_scale: float = 1.0) -> jnp.ndarray:
+    """Exact duplicate-key instance demand of one view: the total tile-rect
+    area of the alive gaussians — the number the reference discovers via
+    its InclusiveSum over per-gaussian touched-tile counts
+    (rasterizer_impl.cu:278-315) before allocating the key buffer.
+
+    A key_cap >= this value renders the view with zero overflow (the
+    quantity bin_gaussians reports as instances + overflow, ops/
+    rasterize.py).  Costs deform + preprocess only — no sort, no
+    compositing — so a scan over a whole trajectory is cheap; render_sets
+    uses it to size each trajectory's key_cap instead of guessing a blanket
+    multiplier (round-4 postmortem: a guess too low silently blacks out the
+    far field, one high enough for the worst case slows every other
+    trajectory's compositing grid)."""
+    from .ops.preprocess import preprocess
+    from .ops.rasterize import tile_rect
+
+    common = _prepare(params, aux, deform_params, deform_cfg, cam,
+                      width, height, jnp.zeros(3, jnp.float32), stage,
+                      active_sh_degree, delta_scale, 1.0, None)
+    for k in ("bg", "width", "height"):
+        common.pop(k)
+    pre = preprocess(**common, width=width, height=height)
+    alive = pre.valid & (pre.radii > 0)
+    rmn, rmx = tile_rect(pre.means2d, pre.radii, width, height)
+    rw = (rmx[:, 0] - rmn[:, 0]).astype(jnp.int32)
+    rh = (rmx[:, 1] - rmn[:, 1]).astype(jnp.int32)
+    return jnp.sum(jnp.where(alive, rw * rh, 0).astype(jnp.int32))
+
+
+def render(params: G.GaussianParams, aux: G.GaussianAux,
+           deform_params: dict | None, deform_cfg: D.DeformConfig | None,
+           cam: dict, width: int, height: int, bg,
+           stage: str = "fine", active_sh_degree=3,
+           delta_scale: float = 1.0, scaling_modifier: float = 1.0,
+           means2d_offset: jnp.ndarray | None = None,
+           key_cap: int | None = None,
+           backend: str = "tiled") -> RenderResult:
+    """cam: packed camera dict (mom_tpu/cameras.py pack()): viewmatrix,
+    projmatrix, campos, tanfovx, tanfovy, time, frame_num."""
+    common = _prepare(params, aux, deform_params, deform_cfg, cam,
+                      width, height, bg, stage, active_sh_degree,
+                      delta_scale, scaling_modifier, means2d_offset)
     if backend == "tiled":
         out = rasterize_tiled(**common, key_cap=key_cap)
         overflow = out.overflow

@@ -298,3 +298,61 @@ def test_render_trajectory_quantizes_float_frames():
                                              (0, 0, 0), rf=rf)
     assert frames[0].dtype == np.uint8
     assert int(frames[0][0, 0, 0]) == int(val * 255 + 0.5)
+
+
+def test_demand_scan_matches_render_instance_count():
+    """instance_demand (deform+preprocess only) must equal the tiled
+    renderer's own instances + overflow — the exact number bin_gaussians
+    expands (the reference's InclusiveSum total, rasterizer_impl.cu:278-315).
+    This is the pre-pass render_sets uses to size per-trajectory key_caps."""
+    import jax.numpy as jnp
+    from mom_tpu import pipeline
+    from mom_tpu.cameras import Camera, pack_cameras
+    from tests.test_training import _toy_state
+
+    state, dcfg = _toy_state(n=48, capacity=128)
+    W = H = 32
+    cams = []
+    for i in range(3):
+        th = (i - 1) * 0.15
+        R = np.array([[np.cos(th), 0, -np.sin(th)], [0, 1, 0],
+                      [np.sin(th), 0, np.cos(th)]])
+        cams.append(Camera(R=R, T=np.zeros(3), fovx=0.8, fovy=0.8,
+                           width=W, height=H, time=i / 2.0, frame_num=i))
+    packed = {k: jnp.asarray(v) for k, v in pack_cameras(cams).items()}
+
+    ds = pipeline.make_demand_scan(dcfg, W, H, stage="fine")
+    demand = np.asarray(ds(state.gauss.params, state.gauss.aux, state.deform,
+                           packed))
+
+    # tiny key_cap forces overflow on at least one view, exercising the
+    # instances+overflow reconstruction
+    import jax
+    from mom_tpu.ops.rasterize import CHUNK
+    from mom_tpu.render import render as render_fn
+
+    @jax.jit
+    def rf(params, aux, deform, cam):
+        return render_fn(params, aux, deform, dcfg, cam, W, H,
+                         jnp.zeros(3, jnp.float32), stage="fine",
+                         active_sh_degree=3, delta_scale=1.0,
+                         key_cap=CHUNK, backend="tiled")
+
+    for i in range(3):
+        camj = {k: jnp.asarray(v[i]) for k, v in pack_cameras(cams).items()}
+        out = rf(state.gauss.params, state.gauss.aux, state.deform, camj)
+        assert int(out.instances) + int(out.overflow) == int(demand[i]), i
+
+
+def test_size_key_cap_buckets():
+    from mom_tpu.pipeline import size_key_cap
+    from mom_tpu.ops.rasterize import CHUNK
+
+    for d in (0, 1, 1000, 123456, 1_800_000):
+        cap = size_key_cap(d)
+        assert cap % CHUNK == 0
+        assert cap >= max(int(d * 1.15), CHUNK)
+    # bucketing: nearby demands share a cap (shared compiled program)
+    assert size_key_cap(1_000_000) == size_key_cap(1_050_000)
+    # monotone
+    assert size_key_cap(2_000_000) >= size_key_cap(1_000_000)

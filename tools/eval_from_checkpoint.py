@@ -32,7 +32,9 @@ def main():
                          "chkpnt_*_*.npz in input_dir")
     ap.add_argument("--allow_reset_boundary", action="store_true",
                     help="evaluate a post-opacity-reset checkpoint anyway")
-    ap.add_argument("--key_cap_mult", type=float, default=4.0)
+    ap.add_argument("--key_cap_mult", type=float, default=0.0,
+                    help="0 (default) = size key_cap from a measured demand "
+                         "scan over the test views; >0 = legacy alive*mult")
     ap.add_argument("--lpips", action="store_true",
                     help="also score LPIPS (random-init AlexNet fallback "
                          "when no converted weights exist on this machine)")
@@ -66,10 +68,19 @@ def main():
     W, H = scene.width, scene.height
     bg = np.zeros(3, np.float32)
     n0 = int(np.asarray(state.gauss.aux.alive).sum())
-    key_cap = ((int(n0 * args.key_cap_mult) + CHUNK - 1) // CHUNK) * CHUNK
 
     test_cams = scene.test_cams
     packed = pipeline.pack_cameras(test_cams)
+    if args.key_cap_mult > 0:
+        key_cap = ((int(n0 * args.key_cap_mult) + CHUNK - 1)
+                   // CHUNK) * CHUNK
+    else:
+        ds = pipeline.make_demand_scan(deform_cfg, W, H, stage=stage)
+        d = np.asarray(ds(state.gauss.params, state.gauss.aux, state.deform,
+                          {k: jnp.asarray(v) for k, v in packed.items()}))
+        key_cap = pipeline.size_key_cap(int(d.max()))
+        print(f"demand-sized key_cap={key_cap} "
+              f"(max view demand {int(d.max())})", flush=True)
     gts = pipeline._gt_stack(test_cams)
     ev = pipeline.make_eval_scan(deform_cfg, W, H, bg, stage=stage,
                                  key_cap=key_cap)

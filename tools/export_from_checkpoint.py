@@ -33,7 +33,10 @@ def main():
                     help="export a post-opacity-reset checkpoint anyway")
     ap.add_argument("--render", action="store_true")
     ap.add_argument("--expname", default="full_r2")
-    ap.add_argument("--key_cap_mult", type=float, default=4.0)
+    ap.add_argument("--key_cap_mult", type=float, default=0.0,
+                    help="0 (default) = size each trajectory's key_cap from "
+                         "a measured demand scan (pipeline.render_sets); "
+                         ">0 = legacy blanket alive*mult cap")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -61,10 +64,12 @@ def main():
     print(f"wrote {out_dir}")
 
     if args.render:
-        from mom_tpu.ops.rasterize import CHUNK
-        n0 = int(np.asarray(state.gauss.aux.alive).sum())
-        key_cap = ((int(n0 * args.key_cap_mult) + CHUNK - 1)
-                   // CHUNK) * CHUNK
+        key_cap = None
+        if args.key_cap_mult > 0:
+            from mom_tpu.ops.rasterize import CHUNK
+            n0 = int(np.asarray(state.gauss.aux.alive).sum())
+            key_cap = ((int(n0 * args.key_cap_mult) + CHUNK - 1)
+                       // CHUNK) * CHUNK
         fps, health = pipeline.render_sets(args.input_dir, state, deform_cfg,
                                            scene, key_cap=key_cap)
         print("FPS per trajectory:", fps)
