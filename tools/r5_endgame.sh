@@ -1,0 +1,161 @@
+#!/bin/bash
+# Round-5 sequence after the scene_0 fine-20000 run finishes (the
+# orchestrator touches /tmp/r4_runs_done because /tmp/r4_skip_s12 is set):
+#
+#   1. scene_0 offline export + eval with the round-5 health gates
+#      (demand-sized key_caps); artifacts commit ONLY on gate pass.
+#   2. Perf window: gate_sweep subset (BIN_V2 + backward gates, subprocess
+#      isolation) + a 10-iteration oracle re-measure.
+#   3. scene_1 stage-2 (reduced schedule) -> export + eval.
+#   4. scene_2 stage-1, then stage-2 if time remains.
+#
+# Every phase banks its evidence to git as it lands; a tunnel flake loses
+# only the remaining phases.  Single-client discipline: phases run strictly
+# sequentially, each with a bounded timeout, and no phase overlaps the
+# training watchdog (we start only after the done-flag).
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/r5_endgame.log
+DEADLINE=${R5_DEADLINE_EPOCH:-0}   # optional: unix time to stop starting new phases
+log() { echo "[r5 $(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
+
+have_time() {  # have_time <seconds needed>
+    [ "$DEADLINE" -eq 0 ] && return 0
+    [ $(( $(date +%s) + $1 )) -lt "$DEADLINE" ]
+}
+
+bank() {  # bank <msg> <paths...>
+    local msg=$1; shift
+    for p in "$@"; do [ -e "$p" ] && git add -f -A "$p" 2>/dev/null; done
+    git commit -q -m "$msg
+
+No-Verification-Needed: run artifacts and logs only" || true
+}
+
+log "waiting for /tmp/r4_runs_done (scene_0 schedule completion)"
+while [ ! -f /tmp/r4_runs_done ]; do sleep 60; done
+log "scene_0 run done; letting the tunnel drain 120s"
+sleep 120
+
+S=demo/scene_0
+
+# ---------- phase 1: scene_0 export + eval (health-gated) ----------
+if have_time 2400; then
+    log "phase 1: export_from_checkpoint --render (demand-sized caps)"
+    timeout 2400 python tools/export_from_checkpoint.py --input_dir "$S" \
+        --render > /tmp/r5_export.log 2>&1
+    rc=$?
+    cp /tmp/r5_export.log runlogs/export_render_r5.log
+    if [ $rc -eq 0 ]; then
+        log "export PASSED health gate; banking frames"
+        bank "scene_0 stage-3 exports at fine 20000 (health-gated)" \
+            "$S/point_cloud" "$S/frame_result" "$S/vid_result" \
+            runlogs/export_render_r5.log
+    else
+        log "export FAILED gate rc=$rc; banking log only"
+        bank "scene_0 export attempt log (gate failed rc=$rc)" \
+            runlogs/export_render_r5.log
+    fi
+    sleep 60
+fi
+
+if have_time 1500; then
+    log "phase 1b: eval_from_checkpoint (demand-sized cap)"
+    timeout 1500 python tools/eval_from_checkpoint.py --input_dir "$S" \
+        --json runlogs/eval_final_r5.json > /tmp/r5_eval.log 2>&1
+    rc=$?
+    cp /tmp/r5_eval.log runlogs/eval_final_r5.log
+    bank "scene_0 offline eval at fine 20000 (rc=$rc)" \
+        runlogs/eval_final_r5.json runlogs/eval_final_r5.log
+    sleep 60
+fi
+
+# ---------- phase 2: perf window ----------
+if have_time 2400; then
+    log "phase 2: gate sweep (BIN_V2 + backward gates), subprocess-isolated"
+    MOM_TPU_SWEEP_ONLY=baseline,binv2,bwd_all,bwd_all_binv2,all_on \
+    MOM_TPU_SWEEP_COMBO_TIMEOUT=420 MOM_TPU_SWEEP_QUIET=45 \
+    timeout 2700 python tools/gate_sweep.py 262144 512x512 12 --subproc \
+        --out runlogs/gate_sweep_r5.json > /tmp/r5_sweep.log 2>&1
+    cp /tmp/r5_sweep.log runlogs/gate_sweep_r5.log
+    bank "gate sweep on hardware: BIN_V2 + backward-gate A/B" \
+        runlogs/gate_sweep_r5.json runlogs/gate_sweep_r5.log
+    sleep 45
+fi
+
+if have_time 900; then
+    log "phase 2b: oracle re-measure (10 iterations)"
+    timeout 900 python tools/measure_oracle.py --pts 262144 --res 512 \
+        --iters 10 > /tmp/r5_oracle.log 2>&1
+    cp /tmp/r5_oracle.log runlogs/measure_oracle_r5.log
+    bank "oracle baseline re-measured over 10 iterations" \
+        ORACLE_BANK.json runlogs/measure_oracle_r5.log
+    sleep 45
+fi
+
+# ---------- phase 3: scene_1 ----------
+S1=demo/scene_1
+if have_time 5400 && [ ! -d "$S1/point_cloud/iteration_7000" ]; then
+    if [ ! -f "$S1/MOM/train_data.pth" ] \
+        && [ -f "$S1/rescue/mom_stage1.tar.gz" ]; then
+        tar -xzf "$S1/rescue/mom_stage1.tar.gz" -C "$S1"
+        log "restored scene_1 stage-1 MOM from rescue"
+    fi
+    if [ -f "$S1/MOM/train_data.pth" ]; then
+        log "phase 3: scene_1 stage-2 (reduced schedule)"
+        python tools/train_watchdog.py --input_dir "$S1" \
+            --expname full_r5_s1 --log /tmp/full_r4_s1.log \
+            -- --configs arguments/dnerf/r4_reduced.py \
+               --test_iterations 3000 7000 \
+               --save_iterations 7000 \
+               --video_iterations 7000 >> "$LOG" 2>&1
+        log "scene_1 stage-2 watchdog exited rc=$?"
+        sleep 90
+        if have_time 1800; then
+            timeout 1800 python tools/export_from_checkpoint.py \
+                --input_dir "$S1" --render > /tmp/r5_export_s1.log 2>&1
+            rc=$?
+            cp /tmp/r5_export_s1.log runlogs/
+            [ $rc -eq 0 ] && bank "scene_1 stage-3 exports (health-gated)" \
+                "$S1/point_cloud" "$S1/frame_result" "$S1/vid_result" \
+                runlogs/r5_export_s1.log
+            sleep 60
+        fi
+        if have_time 1200; then
+            timeout 1200 python tools/eval_from_checkpoint.py \
+                --input_dir "$S1" --json runlogs/eval_s1_r5.json \
+                > runlogs/eval_s1_r5.log 2>&1
+            bank "scene_1 offline eval" runlogs/eval_s1_r5.json \
+                runlogs/eval_s1_r5.log
+            sleep 60
+        fi
+    else
+        log "scene_1 stage-1 artifacts missing; skipping"
+    fi
+fi
+
+# ---------- phase 4: scene_2 (as far as time allows) ----------
+S2=demo/scene_2
+if have_time 4500 && [ ! -f "$S2/MOM/train_data.pth" ]; then
+    log "phase 4: scene_2 stage-1"
+    timeout 5400 python train_motion.py --input_dir "$S2" \
+        > /tmp/stage1_s2.log 2>&1
+    log "scene_2 stage-1 rc=$?"
+    cp /tmp/stage1_s2.log runlogs/ 2>/dev/null
+    bank "scene_2 stage-1 log" runlogs/stage1_s2.log
+    sleep 90
+fi
+if have_time 4500 && [ -f "$S2/MOM/train_data.pth" ] \
+    && [ ! -d "$S2/point_cloud/iteration_7000" ]; then
+    log "phase 4b: scene_2 stage-2 (reduced schedule)"
+    python tools/train_watchdog.py --input_dir "$S2" \
+        --expname full_r5_s2 --log /tmp/full_r4_s2.log \
+        -- --configs arguments/dnerf/r4_reduced.py \
+           --test_iterations 3000 7000 \
+           --save_iterations 7000 \
+           --video_iterations 7000 >> "$LOG" 2>&1
+    log "scene_2 stage-2 watchdog exited rc=$?"
+fi
+
+log "r5 endgame sequence complete"
+touch /tmp/r5_endgame_done
