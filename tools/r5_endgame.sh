@@ -93,6 +93,19 @@ if have_time 900; then
     sleep 45
 fi
 
+# ---------- phase 2c: fresh bench bank on a healthy tunnel ----------
+# The driver's own round-end bench may collide with a still-running scene
+# stage and fall back to the stale bank; banking a fresh measurement NOW
+# (with whatever defaults the sweep validated) makes the fallback current.
+if have_time 1200; then
+    log "phase 2c: bench.py (banks fresh BENCH_BANK measurement)"
+    timeout 1200 python bench.py > /tmp/r5_bench.log 2>&1
+    cp /tmp/r5_bench.log runlogs/bench_r5_selfrun.log
+    bank "fresh bench measurement banked" BENCH_BANK.json \
+        runlogs/bench_r5_selfrun.log
+    sleep 45
+fi
+
 # ---------- phase 3: scene_1 ----------
 S1=demo/scene_1
 if have_time 5400 && [ ! -d "$S1/point_cloud/iteration_7000" ]; then
@@ -105,6 +118,7 @@ if have_time 5400 && [ ! -d "$S1/point_cloud/iteration_7000" ]; then
         log "phase 3: scene_1 stage-2 (reduced schedule)"
         python tools/train_watchdog.py --input_dir "$S1" \
             --expname full_r5_s1 --log /tmp/full_r4_s1.log \
+            --deadline_epoch "${R5_DEADLINE_EPOCH:-0}" \
             -- --configs arguments/dnerf/r4_reduced.py \
                --test_iterations 3000 7000 \
                --save_iterations 7000 \
@@ -150,6 +164,7 @@ if have_time 4500 && [ -f "$S2/MOM/train_data.pth" ] \
     log "phase 4b: scene_2 stage-2 (reduced schedule)"
     python tools/train_watchdog.py --input_dir "$S2" \
         --expname full_r5_s2 --log /tmp/full_r4_s2.log \
+        --deadline_epoch "${R5_DEADLINE_EPOCH:-0}" \
         -- --configs arguments/dnerf/r4_reduced.py \
            --test_iterations 3000 7000 \
            --save_iterations 7000 \

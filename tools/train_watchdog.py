@@ -48,6 +48,11 @@ def main():
                     help="compile time allowance before the first log line")
     ap.add_argument("--log", default="/tmp/train_watchdog_run.log")
     ap.add_argument("--ckpt_every", type=int, default=1000)
+    ap.add_argument("--deadline_epoch", type=int, default=0,
+                    help="unix time after which the run is STOPPED cleanly "
+                         "(child killed, exit 0) — the round driver needs "
+                         "the single-client tunnel back for its bench; "
+                         "checkpoints every --ckpt_every bound the loss")
     args, extra = ap.parse_known_args()
     if extra and extra[0] == "--":
         extra = extra[1:]
@@ -93,6 +98,17 @@ def main():
             rc = proc.poll()
             if rc is not None:
                 break
+            if args.deadline_epoch and time.time() > args.deadline_epoch:
+                print("[watchdog] deadline reached — stopping run cleanly",
+                      flush=True)
+                proc.terminate()
+                try:
+                    proc.wait(timeout=60)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    proc.wait()
+                logf.close()
+                return 0
             size = os.path.getsize(args.log)
             ticks = cpu_ticks()
             # "active" = the log grew OR the child is burning CPU (an XLA
