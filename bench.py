@@ -92,15 +92,17 @@ def _oracle_baseline(n_pts: int, res: str):
         # two passes: an exact (n_points, resolution) record anywhere in the
         # bank wins outright (measure_oracle.py APPENDS new records, so a
         # single pass would let an older same-resolution record shadow a
-        # later exact measurement — round-4 advisor finding)
-        for rec in recs:
+        # later exact measurement — round-4 advisor finding).  Both passes
+        # scan NEWEST-FIRST: among several exact records the most recent
+        # measurement (typically more iterations) wins.
+        for rec in reversed(recs):
             if rec.get("n_points") == n_pts and rec.get("resolution") == res:
                 prov = {"iters_per_sec": rec["iters_per_sec"],
                         "provenance": "measured",
                         "measured_at": rec.get("measured_at"),
                         "detail": rec.get("detail")}
                 return float(rec["iters_per_sec"]), prov
-        for rec in recs:
+        for rec in reversed(recs):
             # measured at another point count, same resolution: linear-in-P
             # rescale of a measurement at this resolution still beats the
             # round-1 65k anchor
