@@ -73,8 +73,8 @@ fi
 # ---------- phase 2: perf window ----------
 if have_time 2400; then
     log "phase 2: gate sweep (BIN_V2 + backward gates), subprocess-isolated"
-    MOM_TPU_SWEEP_ONLY=baseline,binv2,bwd_all,bwd_all_binv2,all_on \
-    MOM_TPU_SWEEP_COMBO_TIMEOUT=420 MOM_TPU_SWEEP_QUIET=45 \
+    MOM_TPU_SWEEP_ONLY=baseline,binv2,bwd_all,bwd_all_binv2 \
+    MOM_TPU_SWEEP_COMBO_TIMEOUT=600 MOM_TPU_SWEEP_QUIET=45 \
     timeout 2700 python tools/gate_sweep.py 262144 512x512 12 --subproc \
         --out runlogs/gate_sweep_r5.json > /tmp/r5_sweep.log 2>&1
     cp /tmp/r5_sweep.log runlogs/gate_sweep_r5.log
@@ -150,9 +150,9 @@ fi
 
 # ---------- phase 4: scene_2 (as far as time allows) ----------
 S2=demo/scene_2
-if have_time 4500 && [ ! -f "$S2/MOM/train_data.pth" ]; then
+if have_time 3900 && [ ! -f "$S2/MOM/train_data.pth" ]; then
     log "phase 4: scene_2 stage-1"
-    timeout 5400 python train_motion.py --input_dir "$S2" \
+    timeout 3900 python train_motion.py --input_dir "$S2" \
         > /tmp/stage1_s2.log 2>&1
     log "scene_2 stage-1 rc=$?"
     cp /tmp/stage1_s2.log runlogs/ 2>/dev/null
