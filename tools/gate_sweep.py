@@ -31,6 +31,7 @@ COMBOS = [
                       "MOM_TPU_SEG_RADIX": "1", "MOM_TPU_BIN_RADIX": "1",
                       "MOM_TPU_CHUNK": "256"}),
     ("binv2", {"MOM_TPU_BIN_V2": "1"}),
+    ("chunk256", {"MOM_TPU_CHUNK": "256"}),
     ("bwd_all_binv2", {"MOM_TPU_TIME_MM": "1", "MOM_TPU_BLOCK_CUMSUM": "1",
                        "MOM_TPU_SEG_RADIX": "1", "MOM_TPU_BIN_V2": "1"}),
 ]

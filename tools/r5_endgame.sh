@@ -73,7 +73,7 @@ fi
 # ---------- phase 2: perf window ----------
 if have_time 2400; then
     log "phase 2: gate sweep (BIN_V2 + backward gates), subprocess-isolated"
-    MOM_TPU_SWEEP_ONLY=baseline,binv2,bwd_all,bwd_all_binv2 \
+    MOM_TPU_SWEEP_ONLY=baseline,binv2,chunk256,bwd_all,bwd_all_binv2 \
     MOM_TPU_SWEEP_COMBO_TIMEOUT=600 MOM_TPU_SWEEP_QUIET=45 \
     timeout 2700 python tools/gate_sweep.py 262144 512x512 12 --subproc \
         --out runlogs/gate_sweep_r5.json > /tmp/r5_sweep.log 2>&1
