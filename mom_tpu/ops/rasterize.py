@@ -330,6 +330,10 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     Each tile's run is then re-laid-out to a CHUNK-aligned segment
     (scatter + cummax fill-forward) so the compositing kernel's DMA offsets
     are provably 128-aligned and tiles never share a chunk."""
+    # a non-CHUNK-multiple cap silently drifts the padded layout's chunk
+    # count between the sort and counting paths (found by the CHUNK=256
+    # parity sweep); all production cap producers align, so enforce it
+    assert key_cap % CHUNK == 0, (key_cap, CHUNK)
     geom = _geom(width, height, row_tiles)
     grid_x, grid_y = geom.grid_x, geom.grid_y
     num_tiles = grid_x * grid_y
