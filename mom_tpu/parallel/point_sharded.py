@@ -147,7 +147,11 @@ def make_ps_train_step(mesh: Mesh, opt_cfg, hidden_cfg,
     use_tv = stage == "fine" and hidden_cfg.time_smoothness_weight != 0
     use_ssim = opt_cfg.lambda_dssim != 0
     # per-shard instance budget: each device only bins its band
-    local_cap = max((key_cap // n_dev + 127) // 128 * 128, 1024)
+    # (CHUNK-aligned — bin_gaussians enforces it; 128 was only right at the
+    # default chunk size)
+    from ..ops.rasterize import CHUNK as _CHUNK
+    local_cap = max((key_cap // n_dev + _CHUNK - 1) // _CHUNK * _CHUNK,
+                    8 * _CHUNK)
 
     def local_loss(groups, statics, aux, cam, gt_band, sh_degree, offset,
                    band0):
