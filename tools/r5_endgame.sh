@@ -1,28 +1,27 @@
 #!/bin/bash
-# Round-5 sequence after the scene_0 fine-20000 run finishes (the
-# orchestrator touches /tmp/r4_runs_done because /tmp/r4_skip_s12 is set):
+# Round-5 post-scene_0 sequence, v2 (first export attempt wedged on its
+# first bulk upload and burned 23 min of a 40-min timeout):
 #
-#   1. scene_0 offline export + eval with the round-5 health gates
-#      (demand-sized key_caps); artifacts commit ONLY on gate pass.
-#   2. Perf window: gate_sweep subset (BIN_V2 + backward gates, subprocess
-#      isolation) + a 10-iteration oracle re-measure.
-#   3. scene_1 stage-2 (reduced schedule) -> export + eval.
-#   4. scene_2 stage-1, then stage-2 if time remains.
+#   1. scene_0 offline export + eval, health-gated, WEDGE-GUARDED
+#      (tools/run_guarded.py kills any phase whose socket flow freezes for
+#      10 min, then retries once after a quiet period).
+#   2. Perf window: gate_sweep (BIN_V2 / backward gates, subprocess
+#      isolation, per-combo timeouts).
+#   3. scene_1 stage-2 — r4_reduced if >115 min remain, else the r5_mini
+#      schedule — then export + eval.
+#   4. oracle re-measure, scene_2 stage-1: only if time remains.
 #
-# Every phase banks its evidence to git as it lands; a tunnel flake loses
-# only the remaining phases.  Single-client discipline: phases run strictly
-# sequentially, each with a bounded timeout, and no phase overlaps the
-# training watchdog (we start only after the done-flag).
+# Single-client discipline: strictly sequential phases; a wedge kill is
+# followed by a >=300 s full quiet before the retry.
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/r5_endgame.log
-DEADLINE=${R5_DEADLINE_EPOCH:-0}   # optional: unix time to stop starting new phases
+DEADLINE=${R5_DEADLINE_EPOCH:-0}
 log() { echo "[r5 $(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
 
-have_time() {  # have_time <seconds needed>
-    [ "$DEADLINE" -eq 0 ] && return 0
-    [ $(( $(date +%s) + $1 )) -lt "$DEADLINE" ]
-}
+have_time() { [ "$DEADLINE" -eq 0 ] && return 0
+              [ $(( $(date +%s) + $1 )) -lt "$DEADLINE" ]; }
+mins_left() { echo $(( (DEADLINE - $(date +%s)) / 60 )); }
 
 bank() {  # bank <msg> <paths...>
     local msg=$1; shift
@@ -32,113 +31,110 @@ bank() {  # bank <msg> <paths...>
 No-Verification-Needed: run artifacts and logs only" || true
 }
 
-log "waiting for /tmp/r4_runs_done (scene_0 schedule completion)"
-while [ ! -f /tmp/r4_runs_done ]; do sleep 60; done
-log "scene_0 run done; letting the tunnel drain 120s"
-sleep 120
+guarded() {  # guarded <timeout_s> <logfile> cmd...  (one retry after quiet)
+    local tmo=$1 lf=$2; shift 2
+    python tools/run_guarded.py --stall_s 600 --timeout "$tmo" -- "$@" \
+        > "$lf" 2>&1
+    local rc=$?
+    if [ $rc -eq 99 ]; then
+        log "phase wedged; 300 s full quiet, then one retry"
+        sleep 300
+        python tools/run_guarded.py --stall_s 600 --timeout "$tmo" -- "$@" \
+            >> "$lf" 2>&1
+        rc=$?
+    fi
+    return $rc
+}
 
 S=demo/scene_0
 
 # ---------- phase 1: scene_0 export + eval (health-gated) ----------
-if have_time 2400; then
+if have_time 1800 && [ ! -f /tmp/r5_export_ok ]; then
     log "phase 1: export_from_checkpoint --render (demand-sized caps)"
-    timeout 2400 python tools/export_from_checkpoint.py --input_dir "$S" \
-        --render > /tmp/r5_export.log 2>&1
+    guarded 2400 /tmp/r5_export.log \
+        python tools/export_from_checkpoint.py --input_dir "$S" --render
     rc=$?
     cp /tmp/r5_export.log runlogs/export_render_r5.log
     if [ $rc -eq 0 ]; then
         log "export PASSED health gate; banking frames"
+        touch /tmp/r5_export_ok
         bank "scene_0 stage-3 exports at fine 20000 (health-gated)" \
             "$S/point_cloud" "$S/frame_result" "$S/vid_result" \
             runlogs/export_render_r5.log
     else
-        log "export FAILED gate rc=$rc; banking log only"
-        bank "scene_0 export attempt log (gate failed rc=$rc)" \
+        log "export FAILED (rc=$rc); banking log only"
+        bank "scene_0 export attempt log (rc=$rc)" \
             runlogs/export_render_r5.log
     fi
-    sleep 60
+    sleep 90
 fi
 
-if have_time 1500; then
+if have_time 1500 && [ ! -f runlogs/eval_final_r5.json ]; then
     log "phase 1b: eval_from_checkpoint (demand-sized cap)"
-    timeout 1500 python tools/eval_from_checkpoint.py --input_dir "$S" \
-        --json runlogs/eval_final_r5.json > /tmp/r5_eval.log 2>&1
+    guarded 1800 /tmp/r5_eval.log \
+        python tools/eval_from_checkpoint.py --input_dir "$S" \
+            --json runlogs/eval_final_r5.json
     rc=$?
     cp /tmp/r5_eval.log runlogs/eval_final_r5.log
     bank "scene_0 offline eval at fine 20000 (rc=$rc)" \
         runlogs/eval_final_r5.json runlogs/eval_final_r5.log
-    sleep 60
+    sleep 90
 fi
 
 # ---------- phase 2: perf window ----------
-if have_time 2400; then
+if have_time 2100 && [ ! -f runlogs/gate_sweep_r5.json ]; then
     log "phase 2: gate sweep (BIN_V2 + backward gates), subprocess-isolated"
-    MOM_TPU_SWEEP_ONLY=baseline,binv2,chunk256,bwd_all,bwd_all_binv2 \
+    MOM_TPU_SWEEP_ONLY=baseline,binv2,bwd_all,bwd_all_binv2 \
     MOM_TPU_SWEEP_COMBO_TIMEOUT=600 MOM_TPU_SWEEP_QUIET=45 \
     timeout 2700 python tools/gate_sweep.py 262144 512x512 12 --subproc \
         --out runlogs/gate_sweep_r5.json > /tmp/r5_sweep.log 2>&1
     cp /tmp/r5_sweep.log runlogs/gate_sweep_r5.log
     bank "gate sweep on hardware: BIN_V2 + backward-gate A/B" \
         runlogs/gate_sweep_r5.json runlogs/gate_sweep_r5.log
-    sleep 45
-fi
-
-if have_time 900; then
-    log "phase 2b: oracle re-measure (10 iterations)"
-    timeout 900 python tools/measure_oracle.py --pts 262144 --res 512 \
-        --iters 10 > /tmp/r5_oracle.log 2>&1
-    cp /tmp/r5_oracle.log runlogs/measure_oracle_r5.log
-    bank "oracle baseline re-measured over 10 iterations" \
-        ORACLE_BANK.json runlogs/measure_oracle_r5.log
-    sleep 45
-fi
-
-# ---------- phase 2c: fresh bench bank on a healthy tunnel ----------
-# The driver's own round-end bench may collide with a still-running scene
-# stage and fall back to the stale bank; banking a fresh measurement NOW
-# (with whatever defaults the sweep validated) makes the fallback current.
-if have_time 1200; then
-    log "phase 2c: bench.py (banks fresh BENCH_BANK measurement)"
-    timeout 1200 python bench.py > /tmp/r5_bench.log 2>&1
-    cp /tmp/r5_bench.log runlogs/bench_r5_selfrun.log
-    bank "fresh bench measurement banked" BENCH_BANK.json \
-        runlogs/bench_r5_selfrun.log
-    sleep 45
+    sleep 60
 fi
 
 # ---------- phase 3: scene_1 ----------
 S1=demo/scene_1
-if have_time 5400 && [ ! -d "$S1/point_cloud/iteration_7000" ]; then
+if have_time 3600 && ! ls -d "$S1"/point_cloud/iteration_* >/dev/null 2>&1; then
     if [ ! -f "$S1/MOM/train_data.pth" ] \
         && [ -f "$S1/rescue/mom_stage1.tar.gz" ]; then
         tar -xzf "$S1/rescue/mom_stage1.tar.gz" -C "$S1"
         log "restored scene_1 stage-1 MOM from rescue"
     fi
     if [ -f "$S1/MOM/train_data.pth" ]; then
-        log "phase 3: scene_1 stage-2 (reduced schedule)"
+        CFG=arguments/dnerf/r4_reduced.py; FINAL=7000
+        if [ "$(mins_left)" -lt 115 ]; then
+            CFG=arguments/dnerf/r5_mini.py; FINAL=4000
+        fi
+        log "phase 3: scene_1 stage-2 ($CFG, $(mins_left) min left)"
         python tools/train_watchdog.py --input_dir "$S1" \
             --expname full_r5_s1 --log /tmp/full_r4_s1.log \
-            --deadline_epoch "${R5_DEADLINE_EPOCH:-0}" \
-            -- --configs arguments/dnerf/r4_reduced.py \
-               --test_iterations 3000 7000 \
-               --save_iterations 7000 \
-               --video_iterations 7000 >> "$LOG" 2>&1
+            --deadline_epoch "$DEADLINE" \
+            -- --configs "$CFG" \
+               --test_iterations 3000 "$FINAL" \
+               --save_iterations "$FINAL" \
+               --video_iterations "$FINAL" >> "$LOG" 2>&1
         log "scene_1 stage-2 watchdog exited rc=$?"
         sleep 90
-        if have_time 1800; then
-            timeout 1800 python tools/export_from_checkpoint.py \
-                --input_dir "$S1" --render > /tmp/r5_export_s1.log 2>&1
+        if have_time 1500; then
+            guarded 1800 /tmp/r5_export_s1.log \
+                python tools/export_from_checkpoint.py --input_dir "$S1" \
+                    --render
             rc=$?
-            cp /tmp/r5_export_s1.log runlogs/
+            cp /tmp/r5_export_s1.log runlogs/export_s1_r5.log
             [ $rc -eq 0 ] && bank "scene_1 stage-3 exports (health-gated)" \
                 "$S1/point_cloud" "$S1/frame_result" "$S1/vid_result" \
-                runlogs/r5_export_s1.log
-            sleep 60
+                runlogs/export_s1_r5.log
+            [ $rc -eq 0 ] || bank "scene_1 export log (rc=$rc)" \
+                runlogs/export_s1_r5.log
+            sleep 90
         fi
         if have_time 1200; then
-            timeout 1200 python tools/eval_from_checkpoint.py \
-                --input_dir "$S1" --json runlogs/eval_s1_r5.json \
-                > runlogs/eval_s1_r5.log 2>&1
+            guarded 1500 /tmp/r5_eval_s1.log \
+                python tools/eval_from_checkpoint.py --input_dir "$S1" \
+                    --json runlogs/eval_s1_r5.json
+            cp /tmp/r5_eval_s1.log runlogs/eval_s1_r5.log
             bank "scene_1 offline eval" runlogs/eval_s1_r5.json \
                 runlogs/eval_s1_r5.log
             sleep 60
@@ -148,28 +144,24 @@ if have_time 5400 && [ ! -d "$S1/point_cloud/iteration_7000" ]; then
     fi
 fi
 
-# ---------- phase 4: scene_2 (as far as time allows) ----------
+# ---------- phase 4 (time permitting): oracle, scene_2 stage-1 ----------
+if have_time 900 && ! grep -q '"n_iters": 10' ORACLE_BANK.json 2>/dev/null; then
+    log "phase 4: oracle re-measure (10 iterations)"
+    guarded 900 /tmp/r5_oracle.log \
+        python tools/measure_oracle.py --pts 262144 --res 512 --iters 10
+    cp /tmp/r5_oracle.log runlogs/measure_oracle_r5.log
+    bank "oracle baseline re-measured over 10 iterations" \
+        ORACLE_BANK.json runlogs/measure_oracle_r5.log
+    sleep 60
+fi
+
 S2=demo/scene_2
 if have_time 3900 && [ ! -f "$S2/MOM/train_data.pth" ]; then
-    log "phase 4: scene_2 stage-1"
-    timeout 3900 python train_motion.py --input_dir "$S2" \
-        > /tmp/stage1_s2.log 2>&1
+    log "phase 4b: scene_2 stage-1"
+    guarded 3900 /tmp/stage1_s2.log python train_motion.py --input_dir "$S2"
     log "scene_2 stage-1 rc=$?"
     cp /tmp/stage1_s2.log runlogs/ 2>/dev/null
     bank "scene_2 stage-1 log" runlogs/stage1_s2.log
-    sleep 90
-fi
-if have_time 4500 && [ -f "$S2/MOM/train_data.pth" ] \
-    && [ ! -d "$S2/point_cloud/iteration_7000" ]; then
-    log "phase 4b: scene_2 stage-2 (reduced schedule)"
-    python tools/train_watchdog.py --input_dir "$S2" \
-        --expname full_r5_s2 --log /tmp/full_r4_s2.log \
-        --deadline_epoch "${R5_DEADLINE_EPOCH:-0}" \
-        -- --configs arguments/dnerf/r4_reduced.py \
-           --test_iterations 3000 7000 \
-           --save_iterations 7000 \
-           --video_iterations 7000 >> "$LOG" 2>&1
-    log "scene_2 stage-2 watchdog exited rc=$?"
 fi
 
 log "r5 endgame sequence complete"
