@@ -48,6 +48,7 @@ def load_offline_state(input_dir: str, ckpt_path: str,
     from mom_tpu.data import checkpoints as ckpt_io
     from mom_tpu import pipeline
 
+    keep_stream_warm()
     m = re.match(r"chkpnt_(coarse|fine)_(\d+)\.npz",
                  os.path.basename(ckpt_path))
     assert m, f"unrecognized checkpoint name: {ckpt_path}"
@@ -68,3 +69,29 @@ def load_offline_state(input_dir: str, ckpt_path: str,
     host_state, extra = ckpt_io.load_train_state(ckpt_path, state)
     ckpt_io.free_device_tree(state)
     return scene, host_state, deform_cfg, stage, iteration, extra
+
+
+def keep_stream_warm(period_s: float = 10.0):
+    """Daemon thread that touches the device every few seconds.
+
+    Both round-5 offline export attempts wedged on their first bulk upload
+    AFTER a multi-minute host-only gap (checkpoint load + point-cloud save)
+    followed a burst of device RPCs — while render_probe, whose first
+    upload follows its device ops within seconds, attached fine on the
+    same day.  Working theory: the tunnel stream goes stale when idle;
+    tiny periodic ops keep it exercised.  Harmless if the theory is wrong
+    (an 8-float add every few seconds)."""
+    import threading
+
+    def loop():
+        import jax.numpy as jnp
+        x = jnp.ones((8,), jnp.float32)
+        ev = threading.Event()
+        while not ev.wait(period_s):
+            try:
+                float((x + 1.0).sum())
+            except Exception:                                # noqa: BLE001
+                return
+    t = threading.Thread(target=loop, daemon=True, name="tunnel-keepalive")
+    t.start()
+    return t
