@@ -50,8 +50,11 @@ def test_eval_from_checkpoint_tool(tmp_path):
     # an untrained state scored against random-noise GT: metrics must be
     # finite and sane, nothing more
     assert np.isfinite([res["l1"], res["psnr"], res["ssim"]]).all()
-    assert np.isfinite(res["lpips"])
-    assert res["lpips_backend"] == "random-init-fallback"
+    # no converted AlexNet weights on this machine: the tool must OMIT the
+    # lpips number (round-4 verdict Weak #4 — a random-init backbone invites
+    # comparison with published LPIPS) and record why instead
+    assert "lpips" not in res
+    assert res["lpips_backend"].startswith("omitted")
 
 
 def test_ckpt_select_skips_reset_boundary(tmp_path):
