@@ -190,7 +190,8 @@ def test_full_config_family_loads():
     # repo-local additions (reduced schedules etc.) still must load/merge,
     # but the reference-parity family count is pinned without them
     ref_family = [f for f in files
-                  if os.path.basename(f) != "r4_reduced.py"]
+                  if os.path.basename(f) not in ("r4_reduced.py",
+                                                 "r5_mini.py")]
     assert len(ref_family) == 27, ref_family
     for path in files:
         parser = ArgumentParser()
@@ -199,7 +200,8 @@ def test_full_config_family_loads():
         args = parser.parse_args([])
         cfg = config.load_config_file(path)
         args = config.merge_hparams(args, cfg)
-        assert args.coarse_iterations == 3000, path
+        if path in ref_family:   # repo-local schedules shorten the stages
+            assert args.coarse_iterations == 3000, path
         hidden = config.extract_group(args, config.ModelHiddenParams)
         res = hidden.kplanes_config["resolution"]
         assert len(res) == 4 and res[3] >= 25, (path, res)
