@@ -19,6 +19,7 @@ stats accumulation, structural ops, optimizer step.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -207,8 +208,18 @@ def make_chunked_steps(step, k: int, batch_size: int = 1):
              and mid-chunk resume alignment).
 
     Identical math to ``step`` — the scan replays the same body, so k
-    chained iterations match k single-step calls bit-for-bit."""
+    chained iterations match k single-step calls bit-for-bit.
+
+    MOM_TPU_SCAN_UNROLL=n replicates the scan body n times per loop trip
+    (lax.scan unroll): the XLA while-loop's per-trip overhead and the
+    fusion barrier at the trip boundary are the prime suspects for the
+    bench's scan-batched rate trailing single-step by ~1% (BENCH_r04) —
+    unrolling amortizes both without changing the math (unroll>1 lets XLA
+    fuse across adjacent iterations, which can reassociate float reductions
+    — mathematically identical, not bit-identical; the default 1 keeps the
+    bit-parity the multistep test pins)."""
     body = step.body
+    unroll = int(os.environ.get("MOM_TPU_SCAN_UNROLL", "1") or 1)
 
     def _slice_view(cams_all, gts_all, vi):
         """vi: scalar index at batch_size 1 (dynamic_slice keeps the old
@@ -229,7 +240,8 @@ def make_chunked_steps(step, k: int, batch_size: int = 1):
             st2, m = body(st, camb, gtb, iter0 + di, sh_degree, False)
             return st2, m["loss"]
         xs = (jnp.arange(k, dtype=jnp.float32), view_idx)
-        state, losses = jax.lax.scan(scan_body, state, xs)
+        state, losses = jax.lax.scan(scan_body, state, xs,
+                                     unroll=min(unroll, k))
         return state, losses
 
     @functools.partial(jax.jit, donate_argnums=(0,),
