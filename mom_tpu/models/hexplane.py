@@ -119,7 +119,10 @@ def hexplane_features(params: dict, pts: jnp.ndarray,
     aabb = params["aabb"]
     pts_n = (pts - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
     coords4 = jnp.concatenate([pts_n, times[:, None]], axis=-1)   # (N, 4)
-    time_mm = uniform_time and os.environ.get("MOM_TPU_TIME_MM") == "1"
+    # default on: part of the bwd-gate set the first hardware sweep measured
+    # at +7.3% (runlogs/gate_sweep_r5.json); MOM_TPU_TIME_MM=0 restores the
+    # patch-gather path
+    time_mm = uniform_time and os.environ.get("MOM_TPU_TIME_MM", "1") != "0"
 
     features = []
     for scale_planes in params["grids"]:

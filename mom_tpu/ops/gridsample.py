@@ -131,7 +131,8 @@ def _patch_gather_bwd(res, g_rows):
     idx, n_cells = res
     n = idx.shape[0]
     import os as _os
-    if _os.environ.get("MOM_TPU_SEG_RADIX") == "1":
+    if _os.environ.get("MOM_TPU_SEG_RADIX", "1") != "0":  # default on (+7.3%
+        # bwd-gate set, runlogs/gate_sweep_r5.json); =0 restores lax.sort
         # 2-pass MXU counting argsort over the <=16k-cell id domain instead
         # of an O(n log^2 n) comparison network (scanprims.py)
         from .scanprims import counting_argsort
@@ -141,7 +142,7 @@ def _patch_gather_bwd(res, g_rows):
                               num_keys=1)[1]
     g_sorted = jnp.take(g_rows, order, axis=0)
     idx_sorted = jnp.take(idx, order)
-    if _os.environ.get("MOM_TPU_BLOCK_CUMSUM") == "1":
+    if _os.environ.get("MOM_TPU_BLOCK_CUMSUM", "1") != "0":  # default on
         from .scanprims import blocked_cumsum
         inc = blocked_cumsum(g_sorted)
     else:

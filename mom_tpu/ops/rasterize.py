@@ -205,13 +205,24 @@ def _hist_kernel(C: int, n_lane_chunks: int):
     mode: rank_by_digit's (N, D) HBM one-hots OOM'd every 720p combo)."""
 
     def kernel(tcol_ref, hist_ref):
+        # hist_ref block is (1, 1, tp_pad): the histogram row lives in the
+        # LAST TWO dims (1, tp_pad) so Mosaic's (8, 128) block-divisibility
+        # rule is satisfied by whole-dimension blocks (a 2D (nblk, tp_pad)
+        # layout with (1, tp_pad) blocks fails to lower on real TPU: 1 is
+        # neither a multiple of 8 nor the full nblk — found by the first
+        # hardware run; interpret-mode tests don't check lowering)
         t = tcol_ref[...]                                  # (C, 1) int32
         for k in range(n_lane_chunks):
             lo = k * LANE
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1) + lo
+            # 2D iota directly: Mosaic rejects broadcasting a (1, LANE) row
+            # across C sublanes ("Invalid input layout" on vector.broadcast
+            # 1x512 -> 1024x512); a full-shape iota needs no broadcast, and
+            # the (C, 1) column operand broadcasts along LANES, which is
+            # supported
+            lane = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1) + lo
             onehot = (t == lane).astype(jnp.int32)         # (C, LANE)
-            hist_ref[:, lo:lo + LANE] = jnp.sum(onehot, axis=0,
-                                                keepdims=True)
+            hist_ref[0, :, lo:lo + LANE] = jnp.sum(onehot, axis=0,
+                                                   keepdims=True)
 
     return kernel
 
@@ -227,21 +238,37 @@ def _dest_kernel(C: int, n_lane_chunks: int, num_tiles: int, pcap: int):
     int32 max — exact for any capacity (no float round-trip), no MXU."""
 
     def kernel(tcol_ref, trow_ref, db_ref, dest_ref):
+        # trow/db blocks are (1, 1, C) / (1, 1, tp_pad): same whole-row-in-
+        # last-two-dims layout as _hist_kernel (Mosaic divisibility rule).
+        # Row -> matrix "broadcasts" go through an MXU ones-matmul: Mosaic
+        # cannot broadcast a 1-sublane vector across C sublanes, but a
+        # (C,1)x(1,N) f32 matmul produces the same replicated matrix and is
+        # EXACT for these int magnitudes (tile ids and layout offsets are
+        # all < 2^24)
         t = tcol_ref[...]                                  # (C, 1)
-        tr = trow_ref[...]                                 # (1, C)
+        ones = jnp.ones((C, 1), jnp.float32)
+        tr2 = jax.lax.dot_general(
+            ones, trow_ref[0].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (C, C)
+        tf = t.astype(jnp.float32)
         ii = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-        eq = jnp.logical_and(t == tr, jj < ii)
+        eq = jnp.logical_and(tf == tr2, jj < ii)
         within = jnp.sum(eq.astype(jnp.int32), axis=1,
                          keepdims=True)                    # (C, 1)
-        db_g = jnp.full((C, 1), -1, jnp.int32)
+        db_g = jnp.full((C, 1), -1.0, jnp.float32)
         for k in range(n_lane_chunks):
             lo = k * LANE
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1) + lo
-            dbc = db_ref[:, lo:lo + LANE]                  # (1, LANE)
-            m = jnp.where(t == lane, dbc, -1)              # (C, LANE)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1) + lo
+            db2 = jax.lax.dot_general(
+                ones, db_ref[0][:, lo:lo + LANE].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (C, LANE)
+            m = jnp.where(t == lane, db2, -1.0)            # (C, LANE)
             db_g = jnp.maximum(db_g, jnp.max(m, axis=1, keepdims=True))
-        dest_ref[...] = jnp.where(t >= num_tiles, pcap, db_g + within)
+        dest_ref[...] = jnp.where(t >= num_tiles, pcap,
+                                  db_g.astype(jnp.int32) + within)
 
     return kernel
 
@@ -265,9 +292,10 @@ def _bin_layout_counting(tile_id: jnp.ndarray, gid_f: jnp.ndarray,
         _hist_kernel(C, nlc),
         grid=(nblk,),
         in_specs=[pl.BlockSpec((C, 1), lambda b: (b, 0))],
-        out_specs=pl.BlockSpec((1, tp_pad), lambda b: (b, 0)),
-        out_shape=jax.ShapeDtypeStruct((nblk, tp_pad), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, tp_pad), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nblk, 1, tp_pad), jnp.int32),
         interpret=_interpret())(tcol)
+    hist = hist.reshape(nblk, tp_pad)
 
     base = jnp.cumsum(hist, axis=0) - hist                 # exclusive
     counts = (base[-1] + hist[-1])[:num_tiles]
@@ -281,11 +309,12 @@ def _bin_layout_counting(tile_id: jnp.ndarray, gid_f: jnp.ndarray,
         _dest_kernel(C, nlc, num_tiles, pcap),
         grid=(nblk,),
         in_specs=[pl.BlockSpec((C, 1), lambda b: (b, 0)),
-                  pl.BlockSpec((1, C), lambda b: (b, 0)),
-                  pl.BlockSpec((1, tp_pad), lambda b: (b, 0))],
+                  pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
+                  pl.BlockSpec((1, 1, tp_pad), lambda b: (b, 0, 0))],
         out_specs=pl.BlockSpec((C, 1), lambda b: (b, 0)),
         out_shape=jax.ShapeDtypeStruct((key_cap, 1), jnp.int32),
-        interpret=_interpret())(tcol, tile_id.reshape(nblk, C), db)
+        interpret=_interpret())(tcol, tile_id.reshape(nblk, 1, C),
+                                db.reshape(nblk, 1, tp_pad))
     dest = dest.reshape(key_cap)
 
     slots = jnp.arange(key_cap, dtype=jnp.int32)
@@ -471,8 +500,11 @@ def _expand_rows_bwd(key_cap, res, gfeat):
         jnp.arange(pcap, dtype=jnp.int32), mode="drop")
     g_pre = jnp.take(g_inst, pad_of_pre, axis=0, mode="fill",
                      fill_value=0.0)                        # (key_cap, NFEAT)
-    if os.environ.get("MOM_TPU_BLOCK_CUMSUM") == "1":
-        # one-pass MXU prefix sum vs jnp.cumsum's ~log2(n) HBM passes
+    if os.environ.get("MOM_TPU_BLOCK_CUMSUM", "1") != "0":
+        # one-pass MXU prefix sum vs jnp.cumsum's ~log2(n) HBM passes.
+        # DEFAULT ON since the first hardware gate sweep measured the
+        # bwd-gate set at +7.3% step rate (runlogs/gate_sweep_r5.json);
+        # MOM_TPU_BLOCK_CUMSUM=0 restores the jnp.cumsum path
         inc = blocked_cumsum(g_pre)
     else:
         inc = jnp.cumsum(g_pre, axis=0)

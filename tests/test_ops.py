@@ -155,6 +155,10 @@ def test_patch_gather_vjp_gates_match_default(monkeypatch):
         out = grid_sample_2d_patched(pt, H, W, c)
         return jnp.sum(out * jnp.cos(out))
 
+    # gates are DEFAULT ON since the round-5 hardware sweep: pin the
+    # reference side to the sort/cumsum path explicitly
+    monkeypatch.setenv("MOM_TPU_SEG_RADIX", "0")
+    monkeypatch.setenv("MOM_TPU_BLOCK_CUMSUM", "0")
     ref = jax.grad(loss, argnums=(0, 1))(grid, coords)
     monkeypatch.setenv("MOM_TPU_SEG_RADIX", "1")
     monkeypatch.setenv("MOM_TPU_BLOCK_CUMSUM", "1")
@@ -193,6 +197,7 @@ def test_expand_rows_bwd_block_cumsum_matches(monkeypatch):
                               jnp.asarray(areas))
 
     ct = jnp.asarray(rng.randn(R.NFEAT, pcap).astype(np.float32))
+    monkeypatch.setenv("MOM_TPU_BLOCK_CUMSUM", "0")   # default flipped on
     ref = jax.vjp(f, table)[1](ct)[0]
     monkeypatch.setenv("MOM_TPU_BLOCK_CUMSUM", "1")
     got = jax.vjp(f, table)[1](ct)[0]
@@ -221,6 +226,7 @@ def test_hexplane_time_matmul_matches_patch_path(monkeypatch):
         f = HX.hexplane_features(p, x, t, uniform_time=True)
         return jnp.sum(jnp.sin(f)), f
 
+    monkeypatch.setenv("MOM_TPU_TIME_MM", "0")        # default flipped on
     (l0, f0), g0 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
         params, pts, times)
     monkeypatch.setenv("MOM_TPU_TIME_MM", "1")

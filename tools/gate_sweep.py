@@ -18,7 +18,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 COMBOS = [
-    ("baseline", {}),
+    # the bwd-gate set is DEFAULT ON since round 5 (+7.3%, this sweep's own
+    # r5 measurement): "baseline" pins every gate OFF so speedups stay
+    # comparable across rounds, "defaults" measures the shipped config
+    ("baseline", {"MOM_TPU_TIME_MM": "0", "MOM_TPU_BLOCK_CUMSUM": "0",
+                  "MOM_TPU_SEG_RADIX": "0"}),
+    ("defaults", {}),
     ("timemm", {"MOM_TPU_TIME_MM": "1"}),
     ("blockcumsum", {"MOM_TPU_BLOCK_CUMSUM": "1"}),
     ("segradix", {"MOM_TPU_SEG_RADIX": "1"}),
