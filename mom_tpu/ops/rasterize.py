@@ -429,8 +429,27 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
         tile_sorted, slot_of_sorted = _radix_sort_tiles(tile_id, grid_x,
                                                         num_tiles)
     else:
-        tile_sorted, slot_of_sorted = jax.lax.sort((tile_id, slots),
-                                                   num_keys=2)
+        # single-operand packed sort when (tile, slot) fits in 32 bits:
+        # tile_id in the high bits, slot in the low ceil(log2(key_cap))
+        # bits — lexicographically identical to the (tile, slot) 2-key
+        # sort (slots are unique and ascending within a tile), but the
+        # comparison network moves HALF the data.  uint32 keeps the
+        # sentinel row (num_tiles << slot_bits) in range where int32
+        # would wrap.  MOM_TPU_BIN_PACK=0 restores the 2-key sort; the
+        # fallback also triggers automatically at render-scale key_caps
+        # whose slot bits no longer fit (e.g. 2.7M slots x 3601 tiles).
+        slot_bits = max(int(key_cap - 1).bit_length(), 1)
+        fits = (num_tiles + 1) * (1 << slot_bits) <= (1 << 32)
+        if fits and os.environ.get("MOM_TPU_BIN_PACK", "1") != "0":
+            packed32 = ((tile_id.astype(jnp.uint32) << slot_bits)
+                        | slots.astype(jnp.uint32))
+            packed32 = jax.lax.sort(packed32)
+            tile_sorted = (packed32 >> slot_bits).astype(jnp.int32)
+            slot_of_sorted = (
+                packed32 & jnp.uint32((1 << slot_bits) - 1)).astype(jnp.int32)
+        else:
+            tile_sorted, slot_of_sorted = jax.lax.sort((tile_id, slots),
+                                                       num_keys=2)
     gid_sorted = gid_f[slot_of_sorted]
 
     # per-tile counts via one-sided diff of first-occurrence positions:

@@ -22,8 +22,9 @@ COMBOS = [
     # r5 measurement): "baseline" pins every gate OFF so speedups stay
     # comparable across rounds, "defaults" measures the shipped config
     ("baseline", {"MOM_TPU_TIME_MM": "0", "MOM_TPU_BLOCK_CUMSUM": "0",
-                  "MOM_TPU_SEG_RADIX": "0"}),
+                  "MOM_TPU_SEG_RADIX": "0", "MOM_TPU_BIN_PACK": "0"}),
     ("defaults", {}),
+    ("nopack", {"MOM_TPU_BIN_PACK": "0"}),
     ("timemm", {"MOM_TPU_TIME_MM": "1"}),
     ("blockcumsum", {"MOM_TPU_BLOCK_CUMSUM": "1"}),
     ("segradix", {"MOM_TPU_SEG_RADIX": "1"}),
