@@ -339,7 +339,7 @@ def _bin_layout_counting(tile_id: jnp.ndarray, gid_f: jnp.ndarray,
 
 
 def bin_gaussians(pre: Preprocessed, width: int, height: int,
-                  key_cap: int, row_tiles=None) -> Binning:
+                  key_cap: int, row_tiles=None, perm=None) -> Binning:
     """Exact duplicate-key expansion with a static capacity.
 
     Instances expand in GLOBAL FRONT-TO-BACK order: gaussians are first
@@ -381,10 +381,14 @@ def bin_gaussians(pre: Preprocessed, width: int, height: int,
     rh = (rmx[:, 1] - rmn[:, 1]).astype(jnp.int32)
     areas = jnp.where(alive, rw * rh, 0).astype(jnp.int32)
 
-    # global depth ranking (dead gaussians sort last; their areas are 0)
-    depth_key = jnp.where(alive, pre.depths, jnp.float32(3.4e38))
-    _, perm = jax.lax.sort((depth_key, jnp.arange(P, dtype=jnp.int32)),
-                           num_keys=1)
+    # global depth ranking (dead gaussians sort last; their areas are 0).
+    # The ranking is band-independent: a banded render (see
+    # rasterize_preprocessed) computes it ONCE and passes it in, so B bands
+    # cost one P-sort, not B
+    if perm is None:
+        depth_key = jnp.where(alive, pre.depths, jnp.float32(3.4e38))
+        _, perm = jax.lax.sort((depth_key, jnp.arange(P, dtype=jnp.int32)),
+                               num_keys=1)
     areas_r = areas[perm]
 
     offsets_inc = jnp.cumsum(areas_r)
@@ -890,7 +894,18 @@ def rasterize_preprocessed(pre: Preprocessed, width: int, height: int, bg,
     """Binning + compositing over an already-preprocessed SoA — the entry
     point for point-sharded multi-chip rendering, where each device
     all-gathers the (cheap, ~11 floats/point) preprocessed arrays and
-    composites its own image shard (SURVEY.md §2.5)."""
+    composites its own image shard (SURVEY.md §2.5).
+
+    ``key_cap`` may be a TUPLE of per-band caps: the image then splits into
+    ``len(key_cap)`` tile-row bands rendered sequentially, each with its
+    own (much smaller) grouping sort — the sort network is O(n log^2 n) in
+    its operand length AND a band's (tile, slot) key fits the packed
+    single-uint32 path at render-scale caps where the whole-image key
+    cannot (bin_gaussians).  The depth ranking is computed once and shared
+    across bands.  Single-chip stage-3 rendering uses this; the caller
+    sizes per-band caps from a banded demand scan."""
+    if isinstance(key_cap, (tuple, list)):
+        return _rasterize_banded(pre, width, height, bg, tuple(key_cap))
     binning = bin_gaussians(jax.tree.map(jax.lax.stop_gradient, pre),
                             width, height, key_cap, row_tiles=row_tiles)
     feat = _pack_features(pre, binning, key_cap)
@@ -907,3 +922,50 @@ def rasterize_preprocessed(pre: Preprocessed, width: int, height: int, bg,
     return TiledRenderOutput(color=color, depth=acc[..., 3], final_T=final_T,
                              radii=pre.radii, overflow=binning.overflow,
                              num_keys=binning.num_keys)
+
+
+def _rasterize_banded(pre: Preprocessed, width: int, height: int, bg,
+                      band_caps: tuple) -> TiledRenderOutput:
+    """Sequential tile-row-band rendering with one shared depth ranking
+    (see rasterize_preprocessed).  Bands concatenate to the exact same
+    image as a single whole-image pass: a gaussian's instances in a band
+    are exactly its rect rows clamped to that band (bin_gaussians'
+    row_tiles clamp), and compositing never crosses tile rows."""
+    B = len(band_caps)
+    gy_full = (height + TILE - 1) // TILE
+    bounds = [round(b * gy_full / B) for b in range(B + 1)]
+
+    spre = jax.tree.map(jax.lax.stop_gradient, pre)
+    alive = spre.valid & (spre.radii > 0)
+    P = spre.depths.shape[0]
+    depth_key = jnp.where(alive, spre.depths, jnp.float32(3.4e38))
+    _, perm = jax.lax.sort((depth_key, jnp.arange(P, dtype=jnp.int32)),
+                           num_keys=1)
+
+    colors, depths, fts = [], [], []
+    overflow = jnp.zeros((), jnp.int32)
+    num_keys = jnp.zeros((), jnp.int32)
+    bgj = jnp.asarray(bg, jnp.float32)
+    for b in range(B):
+        rt = (bounds[b], bounds[b + 1])
+        binning = bin_gaussians(spre, width, height, band_caps[b],
+                                row_tiles=rt, perm=perm)
+        feat = _pack_features(pre, binning, band_caps[b])
+        acc_t, logt_t = _composite(feat, binning.chunk_tile,
+                                   binning.tile_starts, binning.tile_ends,
+                                   binning.slot_valid, width, height, rt)
+        geom = _geom(width, height, rt)
+        band_h = min(height - geom.row0 * TILE, geom.grid_y * TILE)
+        acc = tiles_to_image(acc_t, geom)[:band_h, :width]
+        logt = tiles_to_image(logt_t, geom)[:band_h, :width, 0]
+        ft = jnp.exp(logt)
+        colors.append(acc[..., :3] + ft[..., None] * bgj)
+        depths.append(acc[..., 3])
+        fts.append(ft)
+        overflow = overflow + binning.overflow
+        num_keys = num_keys + binning.num_keys
+    return TiledRenderOutput(color=jnp.concatenate(colors, axis=0),
+                             depth=jnp.concatenate(depths, axis=0),
+                             final_T=jnp.concatenate(fts, axis=0),
+                             radii=pre.radii, overflow=overflow,
+                             num_keys=num_keys)

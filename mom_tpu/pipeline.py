@@ -812,7 +812,7 @@ def _render_trajectory_per_frame(state, cams, rf):
     return frames, fps
 
 
-def make_demand_scan(deform_cfg, W, H, stage="fine"):
+def make_demand_scan(deform_cfg, W, H, stage="fine", bands: int = 1):
     """One dispatched program returns per-frame exact instance demand for a
     packed camera batch (render.instance_demand scanned over frames).  No
     sort, no compositing — deform + preprocess only, so it is cheap to run
@@ -826,7 +826,7 @@ def make_demand_scan(deform_cfg, W, H, stage="fine"):
             return carry, instance_demand(params, aux, deform, deform_cfg,
                                           cam, W, H, stage=stage,
                                           active_sh_degree=3,
-                                          delta_scale=1.0)
+                                          delta_scale=1.0, bands=bands)
         _, d = jax.lax.scan(body, 0, packed_cams)
         return d
     return ds
@@ -847,20 +847,33 @@ def size_key_cap(max_demand: int, margin: float = 1.15,
 
 
 def trajectory_key_caps(state: TrainState, deform_cfg, scene: SceneData,
-                        stage="fine", margin: float = 1.15):
+                        stage="fine", margin: float = 1.15,
+                        bands: int = 1):
     """Exact per-trajectory key_caps: {traj_name: (key_cap, max_demand)}.
 
     Replaces the blanket alive*mult guess (round-4: mult too small silently
     dropped the far field on out-of-distribution trajectory cameras; large
     enough for the worst trajectory made every other trajectory pay its
-    compositing grid)."""
-    ds = make_demand_scan(deform_cfg, scene.width, scene.height, stage=stage)
+    compositing grid).
+
+    ``bands > 1``: key_cap is a TUPLE of per-tile-row-band caps (each sized
+    from that band's own measured demand) selecting the banded render path
+    (ops/rasterize.py:_rasterize_banded) — smaller per-band grouping sorts
+    and packed single-uint32 sort keys at caps where the whole-image key
+    no longer fits 32 bits."""
+    ds = make_demand_scan(deform_cfg, scene.width, scene.height, stage=stage,
+                          bands=bands)
     out = {}
     for name, cams in scene.video_cams.items():
         packed = {k: jnp.asarray(v) for k, v in pack_cameras(cams).items()}
         d = np.asarray(ds(state.gauss.params, state.gauss.aux, state.deform,
                           packed))
-        out[name] = (size_key_cap(int(d.max()), margin), int(d.max()))
+        if bands > 1:                                       # d: (K, bands)
+            cap = tuple(size_key_cap(int(d[:, b].max()), margin)
+                        for b in range(bands))
+            out[name] = (cap, int(d.sum(axis=1).max()))
+        else:
+            out[name] = (size_key_cap(int(d.max()), margin), int(d.max()))
     return out
 
 
@@ -896,7 +909,8 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
     # the caller pinned a cap explicitly
     caps = {}
     if key_cap is None and backend == "tiled":
-        caps = trajectory_key_caps(state, deform_cfg, scene)
+        bands = int(os.environ.get("MOM_TPU_RENDER_BANDS", "1") or 1)
+        caps = trajectory_key_caps(state, deform_cfg, scene, bands=bands)
         print("trajectory key_caps:",
               {name_map[k]: v for k, v in caps.items()}, flush=True)
     # scan-batched + device-side uint8 quantization: one dispatch per 30

@@ -77,7 +77,8 @@ def instance_demand(params: G.GaussianParams, aux: G.GaussianAux,
                     deform_params, deform_cfg, cam: dict,
                     width: int, height: int,
                     stage: str = "fine", active_sh_degree=3,
-                    delta_scale: float = 1.0) -> jnp.ndarray:
+                    delta_scale: float = 1.0,
+                    bands: int = 1) -> jnp.ndarray:
     """Exact duplicate-key instance demand of one view: the total tile-rect
     area of the alive gaussians — the number the reference discovers via
     its InclusiveSum over per-gaussian touched-tile counts
@@ -104,6 +105,22 @@ def instance_demand(params: G.GaussianParams, aux: G.GaussianAux,
     rmn, rmx = tile_rect(pre.means2d, pre.radii, width, height)
     rw = (rmx[:, 0] - rmn[:, 0]).astype(jnp.int32)
     rh = (rmx[:, 1] - rmn[:, 1]).astype(jnp.int32)
+    if bands > 1:
+        # per-tile-row-band demand in the same pass: a band's demand is the
+        # rect rows clamped to that band (exactly bin_gaussians' row_tiles
+        # clamp), so a banded render sized from this vector overflows iff
+        # the whole-image render would
+        from .ops.rasterize import TILE
+        gy_full = (height + TILE - 1) // TILE
+        bounds = [round(b * gy_full / bands) for b in range(bands + 1)]
+        out = []
+        for b in range(bands):
+            mny = jnp.clip(rmn[:, 1], bounds[b], bounds[b + 1])
+            mxy = jnp.clip(rmx[:, 1], bounds[b], bounds[b + 1])
+            rh_b = (mxy - mny).astype(jnp.int32)
+            out.append(jnp.sum(jnp.where(alive, rw * rh_b, 0)
+                               .astype(jnp.int32)))
+        return jnp.stack(out)
     return jnp.sum(jnp.where(alive, rw * rh, 0).astype(jnp.int32))
 
 

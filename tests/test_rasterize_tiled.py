@@ -348,3 +348,53 @@ print("OK")
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+def test_banded_render_matches_whole_image():
+    """A tuple key_cap splits the image into tile-row bands
+    (_rasterize_banded); with zero overflow the concatenated bands must be
+    BIT-IDENTICAL to the whole-image pass: each tile sees the same
+    instances in the same depth order regardless of banding."""
+    cam, params = make_scene(n=120, width=48, height=48, seed=11)
+    bg = jnp.array([0.2, 0.1, 0.3])
+    whole = rasterize_tiled(**_args(cam, params, bg=bg),
+                            key_cap=default_key_cap(120, 48.0))
+    per_band = default_key_cap(120, 48.0)     # generous: zero overflow
+    banded = rasterize_tiled(**_args(cam, params, bg=bg),
+                             key_cap=(per_band, per_band, per_band))
+    assert int(banded.overflow) == 0 and int(whole.overflow) == 0
+    assert int(banded.num_keys) == int(whole.num_keys)
+    np.testing.assert_array_equal(np.asarray(banded.color),
+                                  np.asarray(whole.color))
+    np.testing.assert_array_equal(np.asarray(banded.depth),
+                                  np.asarray(whole.depth))
+    np.testing.assert_array_equal(np.asarray(banded.final_T),
+                                  np.asarray(whole.final_T))
+
+
+def test_banded_demand_partitions_whole_demand():
+    """Per-band demands (render.instance_demand bands>1) must sum exactly
+    to the whole-image demand: band demand is the rect rows clamped to the
+    band, and the bands partition the tile rows."""
+    from mom_tpu.render import instance_demand as _  # noqa: F401  (API)
+    from mom_tpu.ops.rasterize import tile_rect, TILE
+    cam, params = make_scene(n=200, width=64, height=64, seed=13)
+    kwargs = _args(cam, params)
+    pre = preprocess(kwargs["means3d"], kwargs["scales"], kwargs["rotations"],
+                     kwargs["opacities"], kwargs["shs"], kwargs["viewmatrix"],
+                     kwargs["projmatrix"], kwargs["campos"],
+                     kwargs["tanfovx"], kwargs["tanfovy"], 64, 64)
+    alive = np.asarray(pre.valid & (pre.radii > 0))
+    rmn, rmx = tile_rect(pre.means2d, pre.radii, 64, 64)
+    rmn, rmx = np.asarray(rmn), np.asarray(rmx)
+    rw = rmx[:, 0] - rmn[:, 0]
+    whole = int((alive * rw * (rmx[:, 1] - rmn[:, 1])).sum())
+    gy = -(-64 // TILE)
+    B = 3
+    bounds = [round(b * gy / B) for b in range(B + 1)]
+    total = 0
+    for b in range(B):
+        rh = (np.clip(rmx[:, 1], bounds[b], bounds[b + 1])
+              - np.clip(rmn[:, 1], bounds[b], bounds[b + 1]))
+        total += int((alive * rw * rh).sum())
+    assert total == whole
