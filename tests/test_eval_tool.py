@@ -87,3 +87,37 @@ def test_ckpt_select_skips_reset_boundary(tmp_path):
     (only / "chkpnt_fine_3000.npz").write_bytes(b"x")
     assert pick_checkpoint(str(only)).endswith("chkpnt_fine_3000.npz")
     assert len(list_checkpoints(str(only))) == 1
+
+
+@pytest.mark.parity
+def test_fps_probe_tool(tmp_path):
+    """Smoke: the render-compute FPS probe runs the banded render path
+    end-to-end from a banked checkpoint (bands=2) and reports health."""
+    from mom_tpu import config as C
+    from mom_tpu.data.scene import load_scene
+    from mom_tpu.data import checkpoints as ckpt_io
+    from mom_tpu import pipeline
+
+    scene_dir = make_synthetic_scene_dir(tmp_path)
+    scene = load_scene(str(scene_dir / "MOM" / "train_data.pth"),
+                       traj_dir=os.path.join(REPO, "test_trajectory"))
+    state, deform_cfg, _ = pipeline.build_initial_state(
+        scene, C.ModelHiddenParams(), C.OptimizationParams(), flow_scale=2.0)
+    ckpt_io.save_train_state(str(scene_dir / "chkpnt_fine_7.npz"), state,
+                             {"iteration": 7})
+    from argparse import Namespace
+    C.save_cfg_args(str(scene_dir), Namespace(
+        **{**vars(C.OptimizationParams()), **vars(C.ModelHiddenParams())}))
+
+    out_json = str(tmp_path / "fps.json")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MOM_TPU_INTERPRET="1",
+               MOM_TPU_RENDER_BANDS="2")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "fps_probe.py"),
+         "--input_dir", str(scene_dir), "--traj", "up-down",
+         "--frames", "3", "--json", out_json],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stdout + r.stderr
+    res = json.load(open(out_json))
+    assert res["bands"] == 2 and "up-down" in res["fps"]
+    assert res["health"]["up-down"]["max_overflow"] == 0
