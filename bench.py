@@ -65,7 +65,9 @@ ORACLE_BANK_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 GATE_ENV_VARS = ("MOM_TPU_BIN_RADIX", "MOM_TPU_BIN_V2",
                  "MOM_TPU_BLOCK_CUMSUM", "MOM_TPU_CHUNK",
                  "MOM_TPU_MXU_SPLIT", "MOM_TPU_SEG_RADIX",
-                 "MOM_TPU_INTERPRET")
+                 "MOM_TPU_INTERPRET", "MOM_TPU_TIME_MM",
+                 "MOM_TPU_BIN_PACK", "MOM_TPU_SCAN_UNROLL",
+                 "MOM_TPU_RENDER_BANDS")
 
 
 def _active_gates():
