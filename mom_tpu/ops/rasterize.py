@@ -933,6 +933,9 @@ def _rasterize_banded(pre: Preprocessed, width: int, height: int, bg,
     row_tiles clamp), and compositing never crosses tile rows."""
     B = len(band_caps)
     gy_full = (height + TILE - 1) // TILE
+    assert B <= gy_full, (
+        f"{B} bands over {gy_full} tile rows would create empty bands; "
+        f"callers clamp bands to the tile-row count")
     bounds = [round(b * gy_full / B) for b in range(B + 1)]
 
     spre = jax.tree.map(jax.lax.stop_gradient, pre)

@@ -909,7 +909,9 @@ def render_sets(model_path: str, state: TrainState, deform_cfg,
     # the caller pinned a cap explicitly
     caps = {}
     if key_cap is None and backend == "tiled":
+        from .ops.rasterize import TILE
         bands = int(os.environ.get("MOM_TPU_RENDER_BANDS", "1") or 1)
+        bands = max(1, min(bands, (scene.height + TILE - 1) // TILE))
         caps = trajectory_key_caps(state, deform_cfg, scene, bands=bands)
         print("trajectory key_caps:",
               {name_map[k]: v for k, v in caps.items()}, flush=True)

@@ -49,7 +49,9 @@ def main():
                            args.allow_reset_boundary)
     scene, state, deform_cfg, stage, iteration, _ = load_offline_state(
         args.input_dir, ckpt)
+    from mom_tpu.ops.rasterize import TILE
     bands = int(os.environ.get("MOM_TPU_RENDER_BANDS", "1") or 1)
+    bands = max(1, min(bands, (scene.height + TILE - 1) // TILE))
     print(f"fps probe: {ckpt} (stage={stage}, iter={iteration}) "
           f"bands={bands}", flush=True)
 
