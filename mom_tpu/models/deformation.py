@@ -23,6 +23,7 @@ Parameters are a plain pytree; init mirrors initialize_weights
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -167,52 +168,75 @@ def deform(params: dict, config: DeformConfig,
 
     ``uniform_time=True`` (every live render: one camera timestamp
     broadcast over the points) unlocks the MOM_TPU_TIME_MM temporal-plane
-    matmul fast path — see hexplane.hexplane_features."""
-    h = _feature(params, config, means3d, times, uniform_time=uniform_time)
+    matmul fast path — see hexplane.hexplane_features.
 
-    if config.static_mlp:
-        mask = _apply_head(params["static_mlp"], h)          # (N, 1)
-    elif config.empty_voxel:
-        mask = grid.dense_grid_sample(params["empty_voxel"], means3d)
-    else:
-        mask = None                                          # identity
+    Memory: above MOM_TPU_REMAT_DEFORM_AT points (default 1.5M) the whole
+    deformation is wrapped in ``jax.checkpoint`` — the backward pass
+    recomputes the hexplane features and MLP activations instead of
+    holding ~20 (N, 32) f32 temps across the rasterizer (a 2.07M-point
+    1080p scene OOMed a 16 GB v5e chip exactly here; scene_0's 921k stays
+    below the threshold and pays no recompute).  Gradients are identical —
+    remat changes scheduling, not math.  MOM_TPU_REMAT_DEFORM=1/0 forces
+    it on/off."""
+    def _impl(params, means3d, scales, rotations, opacity, shs, times,
+              scene_flow, frame_num, delta_scale):
+        h = _feature(params, config, means3d, times,
+                     uniform_time=uniform_time)
 
-    def base(x):
-        return x if mask is None else x * mask
-
-    if config.no_dx:
-        pts = means3d
-    else:
-        dx = _apply_head(params["pos_deform"], h)
-        dx = dx + delta_scale * (frame_num * scene_flow)
-        pts = base(means3d) + dx
-
-    if config.no_ds:
-        new_scales = scales
-    else:
-        new_scales = base(scales) + _apply_head(params["scales_deform"], h)
-
-    if config.no_dr:
-        new_rot = rotations
-    else:
-        dr = _apply_head(params["rotations_deform"], h)
-        if config.apply_rotation:
-            new_rot = _quat_multiply(rotations, dr)
+        if config.static_mlp:
+            mask = _apply_head(params["static_mlp"], h)      # (N, 1)
+        elif config.empty_voxel:
+            mask = grid.dense_grid_sample(params["empty_voxel"], means3d)
         else:
-            new_rot = rotations + dr
+            mask = None                                      # identity
 
-    if config.no_do:
-        new_opacity = opacity
-    else:
-        new_opacity = base(opacity) + _apply_head(params["opacity_deform"], h)
+        def base(x):
+            return x if mask is None else x * mask
 
-    if config.no_dshs:
-        new_shs = shs
-    else:
-        dshs = _apply_head(params["shs_deform"], h).reshape(shs.shape[0], 16, 3)
-        new_shs = (shs if mask is None else shs * mask[:, :, None]) + dshs
+        if config.no_dx:
+            pts = means3d
+        else:
+            dx = _apply_head(params["pos_deform"], h)
+            dx = dx + delta_scale * (frame_num * scene_flow)
+            pts = base(means3d) + dx
 
-    return pts, new_scales, new_rot, new_opacity, new_shs
+        if config.no_ds:
+            new_scales = scales
+        else:
+            new_scales = base(scales) + _apply_head(params["scales_deform"],
+                                                    h)
+
+        if config.no_dr:
+            new_rot = rotations
+        else:
+            dr = _apply_head(params["rotations_deform"], h)
+            if config.apply_rotation:
+                new_rot = _quat_multiply(rotations, dr)
+            else:
+                new_rot = rotations + dr
+
+        if config.no_do:
+            new_opacity = opacity
+        else:
+            new_opacity = base(opacity) + _apply_head(
+                params["opacity_deform"], h)
+
+        if config.no_dshs:
+            new_shs = shs
+        else:
+            dshs = _apply_head(params["shs_deform"], h).reshape(
+                shs.shape[0], 16, 3)
+            new_shs = (shs if mask is None else shs * mask[:, :, None]) + dshs
+
+        return pts, new_scales, new_rot, new_opacity, new_shs
+
+    forced = os.environ.get("MOM_TPU_REMAT_DEFORM")
+    thresh = int(os.environ.get("MOM_TPU_REMAT_DEFORM_AT", "1500000") or 0)
+    if forced == "1" or (forced != "0" and thresh
+                         and means3d.shape[0] >= thresh):
+        _impl = jax.checkpoint(_impl)
+    return _impl(params, means3d, scales, rotations, opacity, shs, times,
+                 scene_flow, frame_num, delta_scale)
 
 
 def _quat_multiply(q1, q2):
