@@ -191,7 +191,7 @@ def test_full_config_family_loads():
     # but the reference-parity family count is pinned without them
     ref_family = [f for f in files
                   if os.path.basename(f) not in ("r4_reduced.py",
-                                                 "r5_mini.py")]
+                                                 "r5_mini.py", "r5_s1.py")]
     assert len(ref_family) == 27, ref_family
     for path in files:
         parser = ArgumentParser()

@@ -65,7 +65,8 @@ if have_time 3000 && [ ! -f runlogs/gate_sweep_r5.json ]; then
 fi
 
 # ---------- phase B: oracle 10-iteration re-measure ----------
-if have_time 1200 && ! grep -q '"n_iters": 10' ORACLE_BANK.json 2>/dev/null; then
+if have_time 1200 && [ ! -f /tmp/r5_skip_oracle ] \
+    && ! grep -q '"n_iters": 10' ORACLE_BANK.json 2>/dev/null; then
     log "phase B: oracle re-measure (10 iterations)"
     guarded 1200 /tmp/r5_oracle.log \
         python tools/measure_oracle.py --pts 262144 --res 512 --iters 10
@@ -85,16 +86,16 @@ if have_time 5400 && ! ls -d "$S1"/point_cloud/iteration_* >/dev/null 2>&1; then
         log "restored scene_1 stage-1 MOM from rescue"
     fi
     if [ -f "$S1/MOM/train_data.pth" ]; then
-        CFG=arguments/dnerf/r4_reduced.py; FINAL=7000
-        if [ "$(mins_left)" -lt 150 ]; then
-            CFG=arguments/dnerf/r5_mini.py; FINAL=4000
-        fi
+        # 1080p scene_1 trains ~0.5-0.8 it/s: the full r4_reduced fine
+        # stage cannot finish AND export before the deadline after the
+        # 02:5x wedge recovery — fixed shortened schedule instead
+        CFG=arguments/dnerf/r5_s1.py; FINAL=4000
         log "phase C: scene_1 stage-2 ($CFG, $(mins_left) min left)"
         python tools/train_watchdog.py --input_dir "$S1" \
             --expname full_r5_s1 --log /tmp/full_r5_s1.log \
             --deadline_epoch "$DEADLINE" \
             -- --configs "$CFG" \
-               --test_iterations 3000 "$FINAL" \
+               --test_iterations "$FINAL" \
                --save_iterations "$FINAL" \
                --video_iterations "$FINAL" >> "$LOG" 2>&1
         log "scene_1 stage-2 watchdog exited rc=$?"
