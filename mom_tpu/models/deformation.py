@@ -232,11 +232,37 @@ def deform(params: dict, config: DeformConfig,
 
     forced = os.environ.get("MOM_TPU_REMAT_DEFORM")
     thresh = int(os.environ.get("MOM_TPU_REMAT_DEFORM_AT", "1500000") or 0)
-    if forced == "1" or (forced != "0" and thresh
-                         and means3d.shape[0] >= thresh):
-        _impl = jax.checkpoint(_impl)
-    return _impl(params, means3d, scales, rotations, opacity, shs, times,
-                 scene_flow, frame_num, delta_scale)
+    if not (forced == "1" or (forced != "0" and thresh
+                              and means3d.shape[0] >= thresh)):
+        return _impl(params, means3d, scales, rotations, opacity, shs,
+                     times, scene_flow, frame_num, delta_scale)
+
+    # CHUNKED remat: a single whole-N jax.checkpoint still OOMed — its
+    # backward recomputes EVERY (N, 128)/(N, 64) hexplane/MLP temp at once
+    # (six concurrent 1.24 GB buffers at 2.59M capacity).  The deformation
+    # is pointwise, so lax.map over point chunks with a checkpointed body
+    # bounds live temps to one chunk's worth (~67 MB at 128k), while
+    # parameter gradients accumulate across chunks in the scan transpose.
+    # Edge-padding (repeat of the last row) keeps the padded tail uniform
+    # in time for the TIME_MM fast path; padded outputs are sliced off.
+    n = means3d.shape[0]
+    ch = int(os.environ.get("MOM_TPU_REMAT_DEFORM_CHUNK", "131072")
+             or 131072)
+    ch = min(ch, n)
+    nc = -(-n // ch)
+    pad = nc * ch - n
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], 0)
+        return a.reshape((nc, ch) + a.shape[1:])
+
+    xs = tuple(prep(a) for a in (means3d, scales, rotations, opacity, shs,
+                                 times, scene_flow))
+    body = jax.checkpoint(
+        lambda t: _impl(params, *t, frame_num, delta_scale))
+    outs = jax.lax.map(body, xs)
+    return tuple(o.reshape((nc * ch,) + o.shape[2:])[:n] for o in outs)
 
 
 def _quat_multiply(q1, q2):
