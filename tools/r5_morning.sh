@@ -64,7 +64,8 @@ if have_time 1500 && [ ! -f runlogs/fps_bands_r5.json ]; then
     sleep 60
 fi
 
-if have_time 1100 && ! grep -q '"n_iters": 10' ORACLE_BANK.json; then
+if have_time 1100 && [ ! -f /tmp/r5_skip_oracle ] \
+    && ! grep -q '"n_iters": 10' ORACLE_BANK.json; then
     log "phase 2: oracle 10-iteration retry"
     guarded 1200 /tmp/r5_oracle2.log \
         python tools/measure_oracle.py --pts 262144 --res 512 --iters 10
