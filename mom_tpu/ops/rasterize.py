@@ -282,6 +282,13 @@ def _bin_layout_counting(tile_id: jnp.ndarray, gid_f: jnp.ndarray,
     phase: 67 ms at 512^2 / 236 ms at 720p vs a ~10 ms HBM floor).
     Output is bit-identical to the sort path on valid slots (within a
     tile, instances stay in ascending pre-sort slot = depth order)."""
+    # the _dest_kernel's MXU ones-matmul replication is exact only while
+    # every layout offset fits f32's 2^24 integer range (review finding:
+    # MOM_TPU_MAX_KEY_CAP defaults to exactly 2^24) — fail loudly rather
+    # than silently corrupt destination slots
+    assert pcap < (1 << 24), (
+        f"BIN_V2 counting layout needs pcap < 2^24 for exact f32 "
+        f"offsets; got {pcap}")
     C = _bin_v2_block(key_cap)
     nblk = key_cap // C
     tp_pad = -(-(num_tiles + 1) // LANE) * LANE

@@ -48,11 +48,19 @@ def pick_capacity(n_init: int, opt_cfg: C.OptimizationParams) -> int:
     return ((cap + 1023) // 1024) * 1024
 
 
+def _chunk() -> int:
+    from .ops.rasterize import CHUNK
+    return CHUNK
+
+
 def default_key_cap_for(n: int, width: int, height: int) -> int:
     # ~4 tiles per gaussian average headroom (binning cost scales with the
-    # cap); overflow is monitored and reported every log interval
+    # cap); overflow is monitored and reported every log interval.
+    # CHUNK-aligned, not hardcoded 128: bin_gaussians asserts cap % CHUNK
+    # (the MOM_TPU_CHUNK=256 sweep configuration trips a 128-only round)
+    from .ops.rasterize import CHUNK
     cap = n * 4
-    return ((cap + 127) // 128) * 128
+    return ((cap + CHUNK - 1) // CHUNK) * CHUNK
 
 
 class _KeyCapController:
@@ -102,7 +110,7 @@ class _KeyCapController:
             # clamp to a 128-aligned max so the round-up below can't
             # exceed max_cap
             new = min(int(demand * self.GROW_MARGIN),
-                      (self.max_cap // 128) * 128)
+                      (self.max_cap // _chunk()) * _chunk())
             if new <= self.cap:          # pinned at max_cap
                 new = None
                 self._grow = 0
@@ -110,7 +118,8 @@ class _KeyCapController:
             new = int(demand * self.SHRINK_MARGIN)
         if new is None:
             return False
-        new = max(((new + 127) // 128) * 128, 1024)
+        c = _chunk()
+        new = max(((new + c - 1) // c) * c, 1024)
         self._grow = self._shrink = 0
         if new == self.cap:
             return False

@@ -219,7 +219,7 @@ def make_chunked_steps(step, k: int, batch_size: int = 1):
     — mathematically identical, not bit-identical; the default 1 keeps the
     bit-parity the multistep test pins)."""
     body = step.body
-    unroll = int(os.environ.get("MOM_TPU_SCAN_UNROLL", "1") or 1)
+    unroll = max(1, int(os.environ.get("MOM_TPU_SCAN_UNROLL", "1") or 1))
 
     def _slice_view(cams_all, gts_all, vi):
         """vi: scalar index at batch_size 1 (dynamic_slice keeps the old

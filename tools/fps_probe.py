@@ -37,6 +37,8 @@ def main():
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # no keepalive dispatches inside the timed FPS windows (review finding)
+    os.environ.setdefault("MOM_TPU_NO_STREAM_WARM", "1")
     from ckpt_select import pick_checkpoint
     from offline_common import load_offline_state
 

@@ -25,9 +25,15 @@ COMBOS = [
                   "MOM_TPU_SEG_RADIX": "0", "MOM_TPU_BIN_PACK": "0"}),
     ("defaults", {}),
     ("nopack", {"MOM_TPU_BIN_PACK": "0"}),
-    ("timemm", {"MOM_TPU_TIME_MM": "1"}),
-    ("blockcumsum", {"MOM_TPU_BLOCK_CUMSUM": "1"}),
-    ("segradix", {"MOM_TPU_SEG_RADIX": "1"}),
+    # single-gate combos pin the OTHER gates OFF: with default-on gates, a
+    # lone "1" would measure the same config as "defaults" and mis-attribute
+    # the whole set's gain to one gate (round-5 review finding)
+    ("timemm", {"MOM_TPU_TIME_MM": "1", "MOM_TPU_BLOCK_CUMSUM": "0",
+                "MOM_TPU_SEG_RADIX": "0", "MOM_TPU_BIN_PACK": "0"}),
+    ("blockcumsum", {"MOM_TPU_BLOCK_CUMSUM": "1", "MOM_TPU_TIME_MM": "0",
+                     "MOM_TPU_SEG_RADIX": "0", "MOM_TPU_BIN_PACK": "0"}),
+    ("segradix", {"MOM_TPU_SEG_RADIX": "1", "MOM_TPU_TIME_MM": "0",
+                  "MOM_TPU_BLOCK_CUMSUM": "0", "MOM_TPU_BIN_PACK": "0"}),
     ("binradix", {"MOM_TPU_BIN_RADIX": "1"}),
     ("bwd_all", {"MOM_TPU_TIME_MM": "1", "MOM_TPU_BLOCK_CUMSUM": "1",
                  "MOM_TPU_SEG_RADIX": "1"}),

@@ -48,7 +48,11 @@ def load_offline_state(input_dir: str, ckpt_path: str,
     from mom_tpu.data import checkpoints as ckpt_io
     from mom_tpu import pipeline
 
-    keep_stream_warm()
+    # MOM_TPU_NO_STREAM_WARM=1 disables the keepalive: fps_probe measures
+    # per-dispatch tax, and a 10 s keepalive dispatch inside its ~16 s
+    # timed windows would bias exactly the number under test
+    if os.environ.get("MOM_TPU_NO_STREAM_WARM") != "1":
+        keep_stream_warm()
     m = re.match(r"chkpnt_(coarse|fine)_(\d+)\.npz",
                  os.path.basename(ckpt_path))
     assert m, f"unrecognized checkpoint name: {ckpt_path}"
@@ -60,7 +64,11 @@ def load_offline_state(input_dir: str, ckpt_path: str,
     if os.path.exists(cfg_args_path):
         from mom_tpu import config as C
         saved = vars(C.parse_namespace_repr(open(cfg_args_path).read()))
-        flow_scale = float(saved.get("flow_scale", flow_scale) or flow_scale)
+        # explicit None check: `or` would silently discard a persisted
+        # flow_scale of 0.0 (round-5 review finding)
+        fs = saved.get("flow_scale")
+        if fs is not None:
+            flow_scale = float(fs)
 
     scene = load_scene(os.path.join(input_dir, "MOM", "train_data.pth"),
                        traj_dir="test_trajectory")

@@ -109,7 +109,7 @@ if have_time 3600 && ! ls -d "$S1"/point_cloud/iteration_* >/dev/null 2>&1; then
         fi
         log "phase 3: scene_1 stage-2 ($CFG, $(mins_left) min left)"
         python tools/train_watchdog.py --input_dir "$S1" \
-            --expname full_r5_s1 --log /tmp/full_r4_s1.log \
+            --expname full_r5_s1 --log /tmp/full_r5_s1.log \
             --deadline_epoch "$DEADLINE" \
             -- --configs "$CFG" \
                --test_iterations 3000 "$FINAL" \
